@@ -1,0 +1,132 @@
+"""Parameter dataclasses for the TPU-native SfM engine.
+
+Defaults mirror the reference parameter structs exactly:
+  - Matcher::parameters        (reference viso/matcher.h:42-69)
+  - VisualOdometry::calibration/bucketing/parameters (viso/viso.h:33-61)
+  - VisualOdometryMono::parameters   (viso/viso_mono.h:32-45)
+  - VisualOdometryStereo::parameters (viso/viso_stereo.h:32-43)
+  - Reconstruction road-model constants (viso/reconstruction.cpp:34-48) are
+    exposed as parameters here instead of being hardcoded.
+
+TPU-specific additions (capacities for fixed-shape arrays, kernel toggles) are
+grouped in `EngineConfig`. All arrays in the engine are fixed-capacity with
+validity masks; capacities here bound feature/match/track counts.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional
+
+
+@dataclass(frozen=True)
+class MatcherParams:
+    """Feature matching parameters (reference viso/matcher.h:42-69)."""
+
+    nms_n: int = 3                   # non-max-suppression: min distance between maxima (px)
+    nms_tau: int = 50                # non-max-suppression: interest point peakiness threshold
+    match_binsize: int = 50          # matching bin width/height (affects efficiency only)
+    match_radius: int = 200          # matching radius (du/dv in pixels)
+    match_disp_tolerance: int = 2    # dv tolerance for stereo matches (px)
+    outlier_disp_tolerance: int = 5  # outlier removal: disparity tolerance (px)
+    outlier_flow_tolerance: int = 5  # outlier removal: flow tolerance (px)
+    multi_stage: int = 1             # 0=disabled, 1=multistage matching (denser and faster)
+    half_resolution: int = 1         # 0=disabled, 1=match at half res, refine at full res
+    refinement: int = 1              # 0=none, 1=pixel, 2=subpixel
+    # calibration (only used for stereo match prediction, matcher.h:54)
+    f: float = 1.0
+    cu: float = 0.0
+    cv: float = 0.0
+    base: float = 1.0
+
+
+@dataclass(frozen=True)
+class Calibration:
+    """Camera intrinsics (reference viso/viso.h:33-42)."""
+
+    f: float = 1.0    # focal length (px)
+    cu: float = 0.0   # principal point u
+    cv: float = 0.0   # principal point v
+
+
+@dataclass(frozen=True)
+class Bucketing:
+    """Feature bucketing (reference viso/viso.h:45-54)."""
+
+    max_features: int = 2
+    bucket_width: float = 50.0
+    bucket_height: float = 50.0
+
+
+@dataclass(frozen=True)
+class VoParams:
+    """Common VO parameters (reference viso/viso.h:57-61)."""
+
+    match: MatcherParams = field(default_factory=MatcherParams)
+    bucket: Bucketing = field(default_factory=Bucketing)
+    calib: Calibration = field(default_factory=Calibration)
+
+
+@dataclass(frozen=True)
+class MonoParams(VoParams):
+    """Monocular VO parameters (reference viso/viso_mono.h:32-45)."""
+
+    height: float = 1.0             # camera height above ground (m)
+    pitch: float = 0.0              # camera pitch (rad, negative = down)
+    ransac_iters: int = 2000
+    inlier_threshold: float = 1e-5  # fundamental matrix Sampson threshold
+    motion_threshold: float = 100.0 # return failure on small motions
+
+
+@dataclass(frozen=True)
+class StereoParams(VoParams):
+    """Stereo VO parameters (reference viso/viso_stereo.h:32-43)."""
+
+    base: float = 1.0               # baseline (m)
+    ransac_iters: int = 200
+    inlier_threshold: float = 2.0   # 4-D reprojection error threshold (px)
+    reweighting: bool = True
+
+
+@dataclass(frozen=True)
+class ReconstructionParams:
+    """Multi-frame reconstruction parameters.
+
+    Reference hardcodes cam_pitch/-height inside setCalibration
+    (viso/reconstruction.cpp:37-38); we expose them. Update-call defaults from
+    viso/reconstruction.h:62 and the sfm driver call site (viso/sfm.hh:68).
+    """
+
+    cam_pitch: float = -0.08
+    cam_height: float = 1.6
+    point_type: int = 0             # 0=all, 1=road and above, 2=above road only
+    min_track_length: int = 2
+    max_dist: float = 30.0
+    min_angle: float = 3.0          # degrees (sfm.hh:68 passes 3)
+    max_track_length: int = 6       # reference viso/reconstruction.h:118
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """TPU engine capacities and kernel toggles (no reference equivalent —
+    these exist because TPU programs need static shapes)."""
+
+    # capacities (fixed array sizes; overflow beyond these is dropped)
+    max_features_dense: int = 4096   # per image, dense (2nd) NMS pass
+    max_features_sparse: int = 1024  # per image, sparse (1st) NMS pass
+    max_matches: int = 4096          # per frame pair
+    max_tracks: int = 4096           # live reconstruction tracks
+    max_points_per_frame: int = 1024 # finished 3D points emitted per frame
+    # outlier removal implementation: "delaunay" (host callback, reference-
+    # faithful, matcher.cpp:1207-1377) or "grid" (TPU-resident approximation)
+    outlier_mode: str = "delaunay"
+    # use Pallas kernels for hot ops (auto-disabled on CPU test backend)
+    use_pallas: Optional[bool] = None
+    # float dtype for geometry (reference uses float64; f32 is TPU-native)
+    dtype: str = "float32"
+
+
+def replace(cfg, **kw):
+    """dataclasses.replace that works on our frozen configs."""
+    return dataclasses.replace(cfg, **kw)

@@ -1,0 +1,133 @@
+"""Batched small-matrix numerics.
+
+The reference does its linear algebra with a scalar double-precision Matrix
+class: Golub-Reinsch SVD (matrix.cpp:586-831) and Gauss-Jordan solves
+(matrix.cpp:424-512), invoked thousands of times per frame inside RANSAC and
+triangulation loops. On TPU those loops become batch axes, so what we need is
+*batched tiny* decompositions. XLA's generic eigh/svd lowers to expensive
+algorithms, so we use a fixed-sweep cyclic Jacobi eigensolver: pure VPU ops,
+identical control flow for every batch element, fully unrolled at trace time
+(d <= 9 -> at most 36 rotations x sweeps).
+
+All routines work in float32 (or whatever dtype comes in) and are
+differentiable-free utility code (no custom VJP needed: nothing here is
+trained).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def jacobi_eigh(A: jnp.ndarray, sweeps: int = 10):
+    """Symmetric eigendecomposition via cyclic Jacobi.
+
+    A: [..., d, d] symmetric. Returns (w, V): eigenvalues ascending and
+    eigenvectors as columns, A ~= V @ diag(w) @ V.T.
+    """
+    d = A.shape[-1]
+    eye = jnp.broadcast_to(jnp.eye(d, dtype=A.dtype), A.shape)
+    V = eye
+
+    def rotate(A, V, p, q):
+        app = A[..., p, p]
+        aqq = A[..., q, q]
+        apq = A[..., p, q]
+        # robust Jacobi rotation (Golub & Van Loan alg. 8.4.1)
+        small = jnp.abs(apq) <= 1e-30 * (jnp.abs(app) + jnp.abs(aqq) + 1e-30)
+        tau = (aqq - app) / jnp.where(small, 1.0, 2.0 * apq)
+        t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+        t = jnp.where(small, 0.0, t)
+        c = 1.0 / jnp.sqrt(1.0 + t * t)
+        s = t * c
+        c_ = c[..., None]
+        s_ = s[..., None]
+        # rows
+        Ap = A[..., p, :]
+        Aq = A[..., q, :]
+        A = A.at[..., p, :].set(c_ * Ap - s_ * Aq)
+        A = A.at[..., q, :].set(s_ * Ap + c_ * Aq)
+        # cols
+        Ap = A[..., :, p]
+        Aq = A[..., :, q]
+        A = A.at[..., :, p].set(c_ * Ap - s_ * Aq)
+        A = A.at[..., :, q].set(s_ * Ap + c_ * Aq)
+        # accumulate eigenvectors
+        Vp = V[..., :, p]
+        Vq = V[..., :, q]
+        V = V.at[..., :, p].set(c_ * Vp - s_ * Vq)
+        V = V.at[..., :, q].set(s_ * Vp + c_ * Vq)
+        return A, V
+
+    for _ in range(sweeps):
+        for p in range(d - 1):
+            for q in range(p + 1, d):
+                A, V = rotate(A, V, p, q)
+
+    w = jnp.diagonal(A, axis1=-2, axis2=-1)
+    order = jnp.argsort(w, axis=-1)
+    w = jnp.take_along_axis(w, order, axis=-1)
+    V = jnp.take_along_axis(V, order[..., None, :], axis=-1)
+    return w, V
+
+
+def smallest_right_singular_vector(A: jnp.ndarray, sweeps: int = 10) -> jnp.ndarray:
+    """v minimizing ||A v|| for A [..., m, n]: smallest eigenvector of A^T A.
+
+    Replaces the reference's per-sample SVD null-space extraction
+    (viso_mono.cpp:285-290, :417-418)."""
+    AtA = jnp.einsum("...mi,...mj->...ij", A, A)
+    _, V = jacobi_eigh(AtA, sweeps)
+    return V[..., :, 0]
+
+
+def rank2_project(F: jnp.ndarray, sweeps: int = 10) -> jnp.ndarray:
+    """Zero the smallest singular value: F' = F (I - v3 v3^T)
+    (equivalent to viso_mono.cpp:293-295 without forming U)."""
+    v3 = smallest_right_singular_vector(F, sweeps)
+    eye = jnp.eye(F.shape[-1], dtype=F.dtype)
+    P = eye - v3[..., :, None] * v3[..., None, :]
+    return F @ P
+
+
+def svd3(E: jnp.ndarray, sweeps: int = 12):
+    """Full 3x3 SVD of a (near) rank-2 matrix: E = U diag(s) V^T.
+
+    s descending; the third left/right singular vectors are completed by
+    cross products so U, V are proper even when s3 = 0 (needed by EtoRt,
+    viso_mono.cpp:355-366)."""
+    w, V = jacobi_eigh(jnp.einsum("...mi,...mj->...ij", E, E), sweeps)
+    # ascending -> descending
+    w = w[..., ::-1]
+    V = V[..., :, ::-1]
+    s = jnp.sqrt(jnp.maximum(w, 0.0))
+    u0 = jnp.einsum("...ij,...j->...i", E, V[..., :, 0]) / jnp.maximum(s[..., 0:1], 1e-20)
+    u1 = jnp.einsum("...ij,...j->...i", E, V[..., :, 1]) / jnp.maximum(s[..., 1:2], 1e-20)
+    u2 = jnp.cross(u0, u1)
+    v2 = jnp.cross(V[..., :, 0], V[..., :, 1], axis=-1)
+    V = V.at[..., :, 2].set(v2)
+    U = jnp.stack([u0, u1, u2], axis=-1)
+    return U, s, V
+
+
+def solve_psd(A: jnp.ndarray, b: jnp.ndarray):
+    """Solve A x = b for small SPD-ish A with failure detection.
+
+    Returns (x, ok). Stands in for the reference's Gauss-Jordan full-pivot
+    solve whose tiny-pivot check signals FAILED (matrix.cpp:424-512)."""
+    x = jnp.linalg.solve(A, b)
+    ok = jnp.all(jnp.isfinite(x), axis=tuple(range(-b.ndim + A.ndim - 2, 0)) or (-1,))
+    return x, ok
+
+
+def masked_median(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """median = sorted(x[mask])[count // 2] (viso_mono.cpp:192-207 picks the
+    element at index n/2 of the ascending order)."""
+    big = jnp.asarray(jnp.finfo(x.dtype).max, x.dtype)
+    xs = jnp.sort(jnp.where(mask, x, big))
+    count = jnp.sum(mask.astype(jnp.int32))
+    idx = jnp.clip(count // 2, 0, x.shape[0] - 1)
+    return xs[idx]

@@ -1,0 +1,337 @@
+"""Feature matching engine: masked SAD-argmin passes, prior search-range
+statistics, circle closure, pixel dedup, bucketing.
+
+TPU-native redesign of the reference matcher loops:
+  * ``findMatch`` (matcher.cpp:892-963) — a per-feature scan over candidate
+    bins with SIMD SAD — becomes one data-parallel *pass*: every source row
+    scores every candidate feature, masked by search range + class, and takes
+    a first-occurrence argmin. Default winner index 0 and the 1e7 cost cutoff
+    reproduce the reference's ``min_ind=0`` / ``min_cost=10000000`` init.
+  * ``matching`` (matcher.cpp:965-1205) — the flow/stereo/quad circle
+    closures — become 2 or 4 chained passes with index gathers in between.
+  * ``computePriorStatistics`` (matcher.cpp:734-868) becomes scatter-min/max
+    into a [bins, stages, 4] range table.
+  * bucketing (matcher.cpp:243-284) becomes a segmented random ranking.
+
+Bin indexing in the reference only prunes the candidate scan; the exact
+accept test is the coordinate-range check (matcher.cpp:943), which is what we
+implement, so results are bin-free. Tie-breaking differs only in candidate
+*scan order* for exactly-equal SAD costs (we use smallest feature index).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BIG = jnp.float32(1e9)
+MIN_COST_INIT = 10000000.0  # matcher.cpp:899
+
+
+class Matches(NamedTuple):
+    """Fixed-capacity match table (mirrors Matcher::p_match, matcher.h:86-100).
+
+    Invalid entries have valid=False; u/v are float32 full-resolution pixels.
+    """
+
+    u1p: jnp.ndarray
+    v1p: jnp.ndarray
+    i1p: jnp.ndarray
+    u2p: jnp.ndarray
+    v2p: jnp.ndarray
+    i2p: jnp.ndarray
+    u1c: jnp.ndarray
+    v1c: jnp.ndarray
+    i1c: jnp.ndarray
+    u2c: jnp.ndarray
+    v2c: jnp.ndarray
+    i2c: jnp.ndarray
+    valid: jnp.ndarray
+    count: jnp.ndarray
+
+
+def empty_matches(cap: int) -> Matches:
+    f = jnp.full((cap,), -1.0, jnp.float32)
+    i = jnp.full((cap,), -1, jnp.int32)
+    return Matches(f, f, i, f, f, i, f, f, i, f, f, i,
+                   jnp.zeros((cap,), bool), jnp.zeros((), jnp.int32))
+
+
+def compact_matches(m: Matches, cap: int) -> Matches:
+    """Pack valid entries to the front (deterministic, index order)."""
+    ok = m.valid
+    pos = jnp.cumsum(ok.astype(jnp.int32)) - 1
+    dest = jnp.where(ok & (pos < cap), pos, cap)
+    count = jnp.minimum(jnp.sum(ok.astype(jnp.int32)), cap)
+
+    def _sc(x, fill):
+        out = jnp.full((cap + 1,), fill, x.dtype)
+        return out.at[dest].set(x)[:cap]
+
+    slots = jnp.arange(cap, dtype=jnp.int32)
+    return Matches(
+        _sc(m.u1p, -1.0), _sc(m.v1p, -1.0), _sc(m.i1p, -1),
+        _sc(m.u2p, -1.0), _sc(m.v2p, -1.0), _sc(m.i2p, -1),
+        _sc(m.u1c, -1.0), _sc(m.v1c, -1.0), _sc(m.i1c, -1),
+        _sc(m.u2c, -1.0), _sc(m.v2c, -1.0), _sc(m.i2c, -1),
+        valid=slots < count, count=count,
+    )
+
+
+# ---------------------------------------------------------------------------
+# SAD argmin pass
+# ---------------------------------------------------------------------------
+
+def _sad_block(d1: jnp.ndarray, d2: jnp.ndarray) -> jnp.ndarray:
+    """Sum of absolute differences between descriptor rows: [M, N] float32.
+
+    d1: [M, 32] float32, d2: [N, 32] float32 (u8 values, exact in f32).
+    Structural equivalent of the 32-byte SIMD SAD (simd.hh:413-445).
+    """
+    return jnp.abs(d1[:, None, :] - d2[None, :, :]).sum(-1)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def sad_argmin_pass(
+    d1: jnp.ndarray,        # [N1, 32] f32 source descriptors
+    c1: jnp.ndarray,        # [N1] i32 source classes
+    u_min: jnp.ndarray,     # [N1] f32 absolute search bounds
+    u_max: jnp.ndarray,
+    v_min: jnp.ndarray,
+    v_max: jnp.ndarray,
+    t_u: jnp.ndarray,       # [N1] f32 prior target (or -1: disabled)
+    t_v: jnp.ndarray,
+    d2: jnp.ndarray,        # [N2, 32] f32 candidate descriptors
+    u2: jnp.ndarray,        # [N2] f32 candidate coords
+    v2: jnp.ndarray,
+    c2: jnp.ndarray,        # [N2] i32
+    valid2: jnp.ndarray,    # [N2] bool
+    chunk: int = 512,
+):
+    """One directed matching pass; returns (best_idx [N1] i32, best_cost [N1] f32).
+
+    Cost = SAD + 4 * euclidean distance to the prior target when the target
+    is enabled (matcher.cpp:946-953). Candidates outside the range/class or
+    invalid get +inf; if nothing beats MIN_COST_INIT the winner index is 0
+    (matcher.cpp:898-899 semantics).
+    """
+    N1 = d1.shape[0]
+    n_chunks = (N1 + chunk - 1) // chunk
+    pad = n_chunks * chunk - N1
+
+    def _pad(x):
+        return jnp.pad(x, (0, pad)) if pad else x
+
+    d1p = jnp.pad(d1, ((0, pad), (0, 0))) if pad else d1
+    args = [_pad(a) for a in (c1, u_min, u_max, v_min, v_max, t_u, t_v)]
+    c1p, u_min_p, u_max_p, v_min_p, v_max_p, t_u_p, t_v_p = args
+
+    def body(carry, xs):
+        d1c, c1c, umn, umx, vmn, vmx, tu, tv = xs
+        cost = _sad_block(d1c, d2)  # [chunk, N2]
+        use_t = (tu >= 0) & (tv >= 0)
+        dist = jnp.sqrt((u2[None, :] - tu[:, None]) ** 2 +
+                        (v2[None, :] - tv[:, None]) ** 2)
+        cost = cost + jnp.where(use_t[:, None], 4.0 * dist, 0.0)
+        mask = (
+            valid2[None, :]
+            & (c2[None, :] == c1c[:, None])
+            & (u2[None, :] >= umn[:, None]) & (u2[None, :] <= umx[:, None])
+            & (v2[None, :] >= vmn[:, None]) & (v2[None, :] <= vmx[:, None])
+        )
+        cost = jnp.where(mask, cost, BIG)
+        idx = jnp.argmin(cost, axis=1).astype(jnp.int32)
+        best = jnp.min(cost, axis=1)
+        idx = jnp.where(best < MIN_COST_INIT, idx, 0)
+        return carry, (idx, best)
+
+    xs = tuple(
+        a.reshape((n_chunks, chunk) + a.shape[1:])
+        for a in (d1p, c1p, u_min_p, u_max_p, v_min_p, v_max_p, t_u_p, t_v_p)
+    )
+    _, (idx, best) = jax.lax.scan(body, None, xs)
+    return idx.reshape(-1)[:N1], best.reshape(-1)[:N1]
+
+
+# ---------------------------------------------------------------------------
+# Search-range construction
+# ---------------------------------------------------------------------------
+
+class RangeTable(NamedTuple):
+    """Per-bin search ranges for stages 0..3 (Matcher::range, matcher.h:151-157)."""
+
+    u_min: jnp.ndarray  # [n_bins, n_stages]
+    u_max: jnp.ndarray
+    v_min: jnp.ndarray
+    v_max: jnp.ndarray
+
+
+def full_range_table(n_bins: int, n_stages: int, match_radius: float) -> RangeTable:
+    r = jnp.full((n_bins, n_stages), float(match_radius), jnp.float32)
+    return RangeTable(-r, r, -r, r)
+
+
+@functools.partial(jax.jit, static_argnames=("method", "n_bins_u", "n_bins_v", "binsize", "match_radius"))
+def compute_prior_statistics(
+    m: Matches,
+    *,
+    method: int,
+    n_bins_u: int,
+    n_bins_v: int,
+    binsize: int,
+    match_radius: float,
+) -> RangeTable:
+    """Per-bin displacement min/max over a 3x3 bin neighborhood
+    (matcher.cpp:734-868), with the 20x20 minimum range floor."""
+    n_stages = 4 if method == 2 else 2
+    n_bins = n_bins_u * n_bins_v
+
+    if method == 0:
+        deltas = [(m.u1p - m.u1c, m.v1p - m.v1c), (m.u1c - m.u1p, m.v1c - m.v1p)]
+        ref_u, ref_v = m.u1c, m.v1c
+    elif method == 1:
+        z = jnp.zeros_like(m.u1c)
+        deltas = [(m.u2c - m.u1c, z), (m.u1c - m.u2c, z)]
+        ref_u, ref_v = m.u1c, m.v1c
+    else:  # quad (matcher.cpp:778-785)
+        z = jnp.zeros_like(m.u1c)
+        deltas = [
+            (m.u2p - m.u1p, z),
+            (m.u2c - m.u2p, m.v2c - m.v2p),
+            (m.u1c - m.u2c, z),
+            (m.u1p - m.u1c, m.v1p - m.v1c),
+        ]
+        ref_u, ref_v = m.u1p, m.v1p
+
+    # centers intentionally unclipped: the reference clips the *ends* of the
+    # [center-1, center+1] neighborhood (matcher.cpp:793-803), so off-grid
+    # centers contribute to fewer bins, not shifted ones
+    bu = jnp.floor(ref_u / binsize).astype(jnp.int32)
+    bv = jnp.floor(ref_v / binsize).astype(jnp.int32)
+
+    big = jnp.float32(1e6)
+    dmin = jnp.full((n_bins, n_stages), big, jnp.float32)
+    dmax = jnp.full((n_bins, n_stages), -big, jnp.float32)
+    vmin = jnp.full((n_bins, n_stages), big, jnp.float32)
+    vmax = jnp.full((n_bins, n_stages), -big, jnp.float32)
+    cnt = jnp.zeros((n_bins,), jnp.int32)
+
+    valid = m.valid
+    du_stack = jnp.stack([jnp.where(valid, d[0], 0.0) for d in deltas], -1)  # [cap, S]
+    dv_stack = jnp.stack([jnp.where(valid, d[1], 0.0) for d in deltas], -1)
+
+    for dbv in (-1, 0, 1):
+        for dbu in (-1, 0, 1):
+            b_u = bu + dbu
+            b_v = bv + dbv
+            in_range = ((b_u >= 0) & (b_u < n_bins_u)
+                        & (b_v >= 0) & (b_v < n_bins_v))
+            bid = jnp.where(valid & in_range,
+                            b_v * n_bins_u + b_u, n_bins)  # overflow slot
+            dmin = _scatter_ext(dmin, bid, du_stack, valid, "min", big)
+            dmax = _scatter_ext(dmax, bid, du_stack, valid, "max", big)
+            vmin = _scatter_ext(vmin, bid, dv_stack, valid, "min", big)
+            vmax = _scatter_ext(vmax, bid, dv_stack, valid, "max", big)
+            cnt = cnt.at[jnp.clip(bid, 0, n_bins - 1)].add(
+                jnp.where(valid & (bid < n_bins), 1, 0))
+
+    has_obs = (cnt > 0)[:, None]
+    r = jnp.float32(match_radius)
+    dmin = jnp.where(has_obs, dmin, -r)
+    dmax = jnp.where(has_obs, dmax, r)
+    vmin = jnp.where(has_obs, vmin, -r)
+    vmax = jnp.where(has_obs, vmax, r)
+
+    # bound minimum search range to 20x20 (matcher.cpp:845-854)
+    def floor20(lo, hi):
+        d = hi - lo
+        pad = jnp.ceil((20.0 - d) / 2.0)
+        grow = d < 20
+        return jnp.where(grow, lo - pad, lo), jnp.where(grow, hi + pad, hi)
+
+    dmin, dmax = floor20(dmin, dmax)
+    vmin, vmax = floor20(vmin, vmax)
+    return RangeTable(dmin, dmax, vmin, vmax)
+
+
+def _scatter_ext(table, bid, vals, valid, mode, big):
+    """Scatter-min/max vals[cap, S] into table[n_bins, S] by bid."""
+    n_bins = table.shape[0]
+    tab = jnp.concatenate([table, jnp.zeros((1,) + table.shape[1:], table.dtype)], 0)
+    if mode == "min":
+        v = jnp.where(valid[:, None], vals, big)
+        tab = tab.at[bid].min(v)
+    else:
+        v = jnp.where(valid[:, None], vals, -big)
+        tab = tab.at[bid].max(v)
+    return tab[:n_bins]
+
+
+def lookup_ranges(rt: RangeTable, stat_bin: jnp.ndarray, stage: int):
+    """Absolute-range bounds offsets for each row's stat bin."""
+    return (rt.u_min[stat_bin, stage], rt.u_max[stat_bin, stage],
+            rt.v_min[stat_bin, stage], rt.v_max[stat_bin, stage])
+
+
+# ---------------------------------------------------------------------------
+# Pixel dedup + bucketing
+# ---------------------------------------------------------------------------
+
+def dedup_by_pixel(keep: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, w: int, h: int):
+    """First match (smallest row index) claims each integer pixel
+    (matcher.cpp:1036-1039 M array semantics)."""
+    n = keep.shape[0]
+    key = jnp.clip(v.astype(jnp.int32), 0, h - 1) * w + jnp.clip(
+        u.astype(jnp.int32), 0, w - 1)
+    key = jnp.where(keep, key, w * h)  # trash slot
+    owner = jnp.full((w * h + 1,), n, jnp.int32)
+    owner = owner.at[key].min(jnp.arange(n, dtype=jnp.int32))
+    return keep & (owner[key] == jnp.arange(n, dtype=jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def bucket_matches(
+    m: Matches,
+    key: jnp.ndarray,
+    max_features: int,
+    bucket_width: float,
+    bucket_height: float,
+    cap: int,
+) -> Matches:
+    """Keep <= max_features random matches per (bucket_width x bucket_height)
+    bucket of (u1c, v1c), emitted bucket-major (matcher.cpp:243-284).
+
+    The reference shuffles each bucket with the global rand(); we use a
+    counter-based PRNG key for determinism.
+    """
+    n = m.u1c.shape[0]
+    # bucket ids (cols from max coordinate, matcher.cpp:246-255)
+    u_max = jnp.max(jnp.where(m.valid, m.u1c, 0.0))
+    cols = jnp.floor(u_max / bucket_width).astype(jnp.int32) + 1
+    bu = jnp.floor(m.u1c / bucket_width).astype(jnp.int32)
+    bv = jnp.floor(m.v1c / bucket_height).astype(jnp.int32)
+    bid = jnp.where(m.valid, bv * cols + bu, jnp.int32(2 ** 30))
+
+    r = jax.random.uniform(key, (n,))
+    # sort by (bucket, random) -> random rank within each bucket
+    order = jnp.lexsort((r, bid))
+    bid_s = bid[order]
+    first = jnp.concatenate([jnp.array([True]), bid_s[1:] != bid_s[:-1]])
+    seg_start = jnp.maximum.accumulate(
+        jnp.where(first, jnp.arange(n, dtype=jnp.int32), 0))
+    rank = jnp.arange(n, dtype=jnp.int32) - seg_start
+    keep_sorted = (rank < max_features) & m.valid[order]
+
+    def g(x):
+        return x[order]
+
+    sel = Matches(
+        g(m.u1p), g(m.v1p), g(m.i1p), g(m.u2p), g(m.v2p), g(m.i2p),
+        g(m.u1c), g(m.v1c), g(m.i1c), g(m.u2c), g(m.v2c), g(m.i2c),
+        valid=keep_sorted, count=jnp.sum(keep_sorted.astype(jnp.int32)),
+    )
+    return compact_matches(sel, cap)

@@ -1,0 +1,115 @@
+"""Outlier removal via Delaunay neighborhood consistency.
+
+Reference (matcher.cpp:1207-1377): Delaunay-triangulate the current-left match
+positions (Shewchuk's Triangle), then for every triangle edge check
+flow/disparity consistency and give both endpoints a support vote; keep
+matches with >= 4 support.
+
+TPU-native split:
+  * triangulation is inherently sequential/pointer-chasing -> stays on host
+    (scipy.spatial.Delaunay / qhull, or the native C++ module when built);
+  * support counting + filtering are array ops (numpy here since the
+    triangle list already lives on host; the arrays are tiny).
+
+An accelerator-resident alternative (`grid_consistency_mask`) approximates the
+Delaunay graph with k-nearest-neighbor edges so multi-sequence batches can run
+without host sync; enabled with EngineConfig.outlier_mode="grid".
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def delaunay_support_mask(
+    u1c: np.ndarray,
+    v1c: np.ndarray,
+    valid: np.ndarray,
+    flow_u: np.ndarray,
+    flow_v: np.ndarray,
+    disp: np.ndarray,
+    method: int,
+    flow_tol: float,
+    disp_tol: float,
+) -> np.ndarray:
+    """Host-side outlier mask. Inputs are full-capacity numpy arrays.
+
+    flow_u/v = u1c-u1p / v1c-v1p (methods 0,2); disp = u1c-u2c (method 1) or
+    u1p-u2p (method 2). Returns bool mask over the capacity axis.
+    """
+    n = int(valid.sum())
+    keep = np.zeros(valid.shape, bool)
+    idx = np.nonzero(valid)[0]
+    if n <= 3:
+        # reference returns the input unchanged (matcher.cpp:1210-1211)
+        return valid.copy()
+    pts = np.stack([u1c[idx], v1c[idx]], 1).astype(np.float64)
+    try:
+        from scipy.spatial import Delaunay
+
+        tri = Delaunay(pts, qhull_options="QJ").simplices
+    except Exception:
+        return valid.copy()
+
+    support = np.zeros(n, np.int32)
+    fu, fv, dp = flow_u[idx], flow_v[idx], disp[idx]
+    p1, p2, p3 = tri[:, 0], tri[:, 1], tri[:, 2]
+    for a, b in ((p1, p2), (p2, p3), (p1, p3)):
+        if method == 0:
+            ok = np.abs(fu[a] - fu[b]) + np.abs(fv[a] - fv[b]) < flow_tol
+        elif method == 1:
+            ok = np.abs(dp[a] - dp[b]) < disp_tol
+        else:
+            ok = (np.abs(dp[a] - dp[b]) < disp_tol) & (
+                np.abs(fu[a] - fu[b]) + np.abs(fv[a] - fv[b]) < flow_tol)
+        np.add.at(support, a, ok.astype(np.int32))
+        np.add.at(support, b, ok.astype(np.int32))
+    keep[idx[support >= 4]] = True
+    return keep
+
+
+@functools.partial(jax.jit, static_argnames=("method", "k"))
+def grid_consistency_mask(
+    u1c: jnp.ndarray,
+    v1c: jnp.ndarray,
+    valid: jnp.ndarray,
+    flow_u: jnp.ndarray,
+    flow_v: jnp.ndarray,
+    disp: jnp.ndarray,
+    method: int,
+    flow_tol: float,
+    disp_tol: float,
+    k: int = 6,
+) -> jnp.ndarray:
+    """On-device approximation: each match votes with its k nearest neighbors
+    (bidirectional like the shared-edge double count), keep support >= 4."""
+    big = jnp.float32(1e12)
+    d2 = ((u1c[:, None] - u1c[None, :]) ** 2 +
+          (v1c[:, None] - v1c[None, :]) ** 2)
+    pair_ok = valid[:, None] & valid[None, :]
+    d2 = jnp.where(pair_ok, d2, big)
+    d2 = jnp.fill_diagonal(d2, big, inplace=False)
+    _, nbr = jax.lax.top_k(-d2, k)  # [N, k] nearest neighbors
+
+    if method == 0:
+        edge_ok = (jnp.abs(flow_u[:, None] - flow_u[nbr]) +
+                   jnp.abs(flow_v[:, None] - flow_v[nbr])) < flow_tol
+    elif method == 1:
+        edge_ok = jnp.abs(disp[:, None] - disp[nbr]) < disp_tol
+    else:
+        edge_ok = (jnp.abs(disp[:, None] - disp[nbr]) < disp_tol) & (
+            (jnp.abs(flow_u[:, None] - flow_u[nbr]) +
+             jnp.abs(flow_v[:, None] - flow_v[nbr])) < flow_tol)
+    edge_ok = edge_ok & valid[nbr] & valid[:, None]
+
+    support = jnp.sum(edge_ok.astype(jnp.int32), axis=1)
+    # reciprocal votes: each accepted edge also supports the neighbor
+    n = u1c.shape[0]
+    support = support + jnp.zeros((n,), jnp.int32).at[
+        jnp.where(edge_ok, nbr, n).reshape(-1)
+    ].add(1, mode="drop")
+    return valid & (support >= 4)

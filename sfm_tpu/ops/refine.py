@@ -1,0 +1,121 @@
+"""Match coordinate refinement on full-resolution gradients.
+
+Pixel mode (refinement=1): re-locate the target coordinate at the SAD minimum
+of a 5x5 neighborhood of 16-byte small descriptors (matcher.cpp:1456-1496
+relocateMinimum). Subpixel mode (refinement=2): 7x7 SAD cost surface +
+least-squares paraboloid fit (matcher.cpp:1379-1454 parabolicFitting);
+failures drop the match.
+
+Batched over all matches: descriptor sampling is a [M, 25|49, 16] gather,
+the paraboloid fit a constant 6x9 matmul.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .descriptors import compute_small_descriptors
+
+MARGIN = 6
+
+
+def _grid_descs(du, dv, u0, v0, grid: int):
+    """Small descriptors at a grid x grid neighborhood of integer (u0, v0).
+
+    Returns [M, grid*grid, 16] float32 ordered dv-major (reference loop
+    order matcher.cpp:1474-1481: dv outer, du inner)."""
+    r = grid // 2
+    offs = [(dx, dy) for dy in range(-r, r + 1) for dx in range(-r, r + 1)]
+    descs = []
+    for dx, dy in offs:
+        d = compute_small_descriptors(du, dv, u0 + dx, v0 + dy)
+        descs.append(d.astype(jnp.float32))
+    return jnp.stack(descs, axis=1)
+
+
+@jax.jit
+def relocate_minimum(
+    du1, dv1, du2, dv2,
+    u1, v1, u2, v2,
+    w2: jnp.ndarray, h2: jnp.ndarray,
+):
+    """Vectorized relocateMinimum. Returns updated (u2, v2).
+
+    Out-of-margin targets are left unchanged (matcher.cpp:1464-1465)."""
+    m = jnp.float32(MARGIN)
+    feasible = ((u2 - 2 >= m) & (u2 + 2 <= w2 - 1 - m) &
+                (v2 - 2 >= m) & (v2 + 2 <= h2 - 1 - m))
+    iu1 = u1.astype(jnp.int32)
+    iv1 = v1.astype(jnp.int32)
+    iu2 = u2.astype(jnp.int32)
+    iv2 = v2.astype(jnp.int32)
+    ref = compute_small_descriptors(du1, dv1, iu1, iv1).astype(jnp.float32)
+    cand = _grid_descs(du2, dv2, iu2, iv2, 5)          # [M, 25, 16]
+    cost = jnp.abs(cand - ref[:, None, :]).sum(-1)      # [M, 25]
+    best = jnp.argmin(cost, axis=1).astype(jnp.float32)  # first occurrence
+    du_off = jnp.mod(best, 5.0) - 2.0
+    dv_off = jnp.floor(best / 5.0) - 2.0
+    return (jnp.where(feasible, u2 + du_off, u2),
+            jnp.where(feasible, v2 + dv_off, v2))
+
+
+def _fit_matrix() -> np.ndarray:
+    """(A^T A)^-1 A^T for the 9-point paraboloid LS fit (matcher.cpp:1508-1519)."""
+    rows = []
+    for i in (-1, 0, 1):      # dv
+        for j in (-1, 0, 1):  # du
+            rows.append([j * j, i * i, i * j, j, i, 1])
+    A = np.array(rows, np.float64)
+    return np.linalg.solve(A.T @ A, A.T)  # [6, 9]
+
+
+_FIT = jnp.asarray(_fit_matrix(), jnp.float32)
+
+
+@jax.jit
+def parabolic_fitting(
+    du1, dv1, du2, dv2,
+    u1, v1, u2, v2,
+    w2: jnp.ndarray, h2: jnp.ndarray,
+):
+    """Vectorized parabolicFitting. Returns (u2', v2', ok).
+
+    ok=False matches must be dropped (matcher.cpp:1546-1548). Out-of-margin
+    targets fail outright (matcher.cpp:1388-1389)."""
+    m = jnp.float32(MARGIN)
+    feasible = ((u2 - 3 >= m) & (u2 + 3 <= w2 - 1 - m) &
+                (v2 - 3 >= m) & (v2 + 3 <= h2 - 1 - m))
+    iu1 = u1.astype(jnp.int32)
+    iv1 = v1.astype(jnp.int32)
+    iu2 = u2.astype(jnp.int32)
+    iv2 = v2.astype(jnp.int32)
+    ref = compute_small_descriptors(du1, dv1, iu1, iv1).astype(jnp.float32)
+    cand = _grid_descs(du2, dv2, iu2, iv2, 7)           # [M, 49, 16]
+    cost = jnp.abs(cand - ref[:, None, :]).sum(-1)       # [M, 49]
+    best = jnp.argmin(cost, axis=1).astype(jnp.int32)
+    bu = best % 7
+    bv = best // 7
+    interior = (bu > 0) & (bu < 6) & (bv > 0) & (bv < 6)
+
+    # 3x3 cost patch around the minimum, row-major in (i=dv, j=du)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (9,), 0) // 3 - 1
+    jj = jax.lax.broadcasted_iota(jnp.int32, (9,), 0) % 3 - 1
+    safe_bu = jnp.clip(bu, 1, 5)
+    safe_bv = jnp.clip(bv, 1, 5)
+    patch_idx = (safe_bv[:, None] + ii[None, :]) * 7 + (safe_bu[:, None] + jj[None, :])
+    c = jnp.take_along_axis(cost, patch_idx, axis=1)     # [M, 9]
+    b = c @ _FIT.T                                       # [M, 6]
+    b0, b1, b2, b3, b4 = b[:, 0], b[:, 1], b[:, 2], b[:, 3], b[:, 4]
+    divisor = b2 * b2 - 4.0 * b0 * b1
+    ok_div = (jnp.abs(divisor) >= 1e-8) & (jnp.abs(b2) >= 1e-8)
+    ddv = (2.0 * b0 * b4 - b2 * b3) / jnp.where(ok_div, divisor, 1.0)
+    ddu = -(b4 + 2.0 * b1 * ddv) / jnp.where(ok_div, b2, 1.0)
+    ok_step = (jnp.abs(ddu) < 1.0) & (jnp.abs(ddv) < 1.0)
+    ok = feasible & interior & ok_div & ok_step
+    u_new = u2 + safe_bu.astype(jnp.float32) - 3.0 + ddu
+    v_new = v2 + safe_bv.astype(jnp.float32) - 3.0 + ddv
+    return (jnp.where(ok, u_new, u2), jnp.where(ok, v_new, v2), ok)
