@@ -1,0 +1,99 @@
+"""Command-line SfM application (reference main.cpp:29-127).
+
+Usage: python -m sfm_tpu.cli [options] <image_dir>
+
+Flags mirror the reference getopt set (main.cpp:34-70): -f focal, -u cu,
+-v cv, --height, --pitch, -n frames, -o output.ply. The -g GUI flag of the
+reference is replaced by --save-viz (matplotlib scatter export); -c OpenCL
+is meaningless here (the TPU path IS the accelerated path).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="sfm_tpu",
+                                description="TPU-native monocular SfM demo")
+    p.add_argument("image_dir", help="directory with %%04d.png frames")
+    p.add_argument("-f", "--focal", type=float, default=645.2)
+    p.add_argument("-u", "--cu", type=float, default=635.9)
+    p.add_argument("-v", "--cv", type=float, default=194.1)
+    p.add_argument("--height", type=float, default=1.6,
+                   help="camera height above ground (m)")
+    p.add_argument("--pitch", type=float, default=-0.08,
+                   help="camera pitch (rad, negative=down)")
+    p.add_argument("-n", "--n-frames", type=int, default=0)
+    p.add_argument("-o", "--out-file", default="",
+                   help="output PLY point cloud")
+    p.add_argument("--save-viz", default="",
+                   help="save a top-down PNG scatter of the point cloud")
+    p.add_argument("--poses-out", default="",
+                   help="write per-frame 3x4 poses (KITTI format)")
+    p.add_argument("--stats-json", default="",
+                   help="write per-run stats JSON")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from .config import Bucketing, Calibration, EngineConfig, MonoParams
+    from .models.sfm import StructureFromMotion
+    from .utils.io import ImageSequenceLoader
+    from .utils.ply import export_ply
+    from .utils.timer import StartTimer
+
+    video = ImageSequenceLoader(args.image_dir)
+    n = args.n_frames or video.n_frames
+    params = MonoParams(
+        calib=Calibration(f=args.focal, cu=args.cu, cv=args.cv),
+        height=args.height, pitch=args.pitch,
+        bucket=Bucketing(max_features=1000))  # main.cpp:71 disables bucketing
+    sfm = StructureFromMotion(params, dims=video.get_dims(), verbose=True)
+
+    poses = []
+    timer = StartTimer("Total time", verbose=False)
+    for i, img in enumerate(video.prefetch(n)):
+        print(f"Processing: Frame: {i}")
+        sfm.update(img)
+        poses.append(sfm.get_pose().copy())
+    total = timer.end()
+    fps = n / total
+    print(f"FPS: {fps}")
+
+    if args.out_file:
+        export_ply(sfm.get_points(), args.out_file)
+    if args.poses_out:
+        with open(args.poses_out, "w") as fh:
+            for T in poses:
+                fh.write(" ".join(f"{x:.9e}" for x in T[:3].reshape(-1)) + "\n")
+    if args.save_viz:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        pts = sfm.get_points()
+        fig, ax = plt.subplots(figsize=(8, 8))
+        if len(pts):
+            ax.scatter(pts[:, 0], pts[:, 2], s=1, c=-pts[:, 1], cmap="viridis")
+        ax.set_xlabel("x (m)")
+        ax.set_ylabel("z (m)")
+        ax.set_title(f"{len(pts)} points")
+        fig.savefig(args.save_viz, dpi=120)
+    if args.stats_json:
+        with open(args.stats_json, "w") as fh:
+            json.dump({"frames": n, "fps": fps,
+                       "points": int(len(sfm.get_points()))}, fh)
+    print("Demo complete!")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,165 @@
+"""Fully-fused on-device frame pipelines.
+
+The Matcher/VO classes interleave host steps (Delaunay outlier removal) with
+jitted stages — reference-faithful, but each host round-trip costs tunnel
+latency and blocks batching. This module provides the *pure* pipeline: one
+jitted function per frame step using the on-device grid-consistency outlier
+filter (EngineConfig.outlier_mode="grid"), suitable for:
+
+  * single-chip speed-of-light execution (bench fast path),
+  * vmap over a batch of sequences (data parallelism across a mesh),
+  * the multi-chip dry run.
+
+Structure mirrors Matcher::matchFeatures + VisualOdometry*::process
+(matcher.cpp:183-241, viso_mono.cpp:33-39, viso_stereo.cpp:33-40).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import EngineConfig, MonoParams, StereoParams
+from ..ops.matching import (Matches, bucket_matches, compact_matches,
+                            compute_prior_statistics)
+from ..ops.nms import FeatureSet
+from ..ops.outliers import grid_consistency_mask
+from ..ops.refine import relocate_minimum
+from .matcher import FrameFeatures, detect_features, match_flow, match_quad, match_stereo
+from .mono import MonoResult, mono_estimate_motion
+from .stereo import StereoResult, stereo_estimate_motion
+
+
+def _grid_outliers(m: Matches, method: int, flow_tol: float, disp_tol: float,
+                   cap: int) -> Matches:
+    flow_u, flow_v = m.u1c - m.u1p, m.v1c - m.v1p
+    disp = (m.u1c - m.u2c) if method == 1 else (m.u1p - m.u2p)
+    keep = grid_consistency_mask(m.u1c, m.v1c, m.valid, flow_u, flow_v, disp,
+                                 method, flow_tol, disp_tol)
+    return compact_matches(m._replace(valid=keep), cap)
+
+
+def make_mono_frame_step(w: int, h: int, params: MonoParams,
+                         engine: EngineConfig):
+    """Returns a jitted pure function:
+
+        (prev: FrameFeatures, img [h,w] u8, key) ->
+            (cur: FrameFeatures, matches: Matches, result: MonoResult)
+
+    The caller threads `cur` back in as `prev` for the next frame (the
+    matcher ring buffer, matcher.cpp:108-155, becomes explicit state).
+    """
+    p = params.match
+    radius = p.match_radius / 2 if p.half_resolution else p.match_radius
+    nbu = -(-w // p.match_binsize)
+    nbv = -(-h // p.match_binsize)
+    kw = dict(w=w, h=h, binsize=p.match_binsize, nbu=nbu, nbv=nbv,
+              radius=float(radius), disp_tol=float(p.match_disp_tolerance),
+              cap=engine.max_matches)
+    calib = jnp.asarray([params.calib.f, params.calib.cu, params.calib.cv],
+                        jnp.float32)
+
+    def step(prev: FrameFeatures, img, key):
+        cur = detect_features(
+            img, w=w, h=h, nms_n=p.nms_n, nms_tau=p.nms_tau,
+            multi_stage=p.multi_stage, half_resolution=p.half_resolution,
+            cap_sparse=engine.max_features_sparse,
+            cap_dense=engine.max_features_dense)
+        k_bucket, k_ransac = jax.random.split(key)
+
+        m1 = match_flow(prev.sparse, cur.sparse, None, use_rt=False, **kw)
+        m1 = _grid_outliers(m1, 0, p.outlier_flow_tolerance,
+                            p.outlier_disp_tolerance, engine.max_matches)
+        rt = compute_prior_statistics(
+            m1, method=0, n_bins_u=nbu, n_bins_v=nbv,
+            binsize=p.match_binsize, match_radius=float(radius))
+        m2 = match_flow(prev.dense, cur.dense, rt, use_rt=True, **kw)
+        if p.refinement > 0:
+            u1p, v1p = relocate_minimum(
+                cur.du_full, cur.dv_full, prev.du_full, prev.dv_full,
+                m2.u1c, m2.v1c, m2.u1p, m2.v1p,
+                jnp.float32(w), jnp.float32(h))
+            m2 = m2._replace(u1p=u1p, v1p=v1p)
+        m2 = _grid_outliers(m2, 0, p.outlier_flow_tolerance,
+                            p.outlier_disp_tolerance, engine.max_matches)
+        m2 = bucket_matches(m2, k_bucket, params.bucket.max_features,
+                            params.bucket.bucket_width,
+                            params.bucket.bucket_height, engine.max_matches)
+        res = mono_estimate_motion(
+            m2, k_ransac, calib, jnp.float32(params.height),
+            jnp.float32(params.pitch), jnp.float32(params.inlier_threshold),
+            jnp.float32(params.motion_threshold),
+            ransac_iters=params.ransac_iters)
+        return cur, m2, res
+
+    return jax.jit(step)
+
+
+def make_stereo_frame_step(w: int, h: int, params: StereoParams,
+                           engine: EngineConfig):
+    """Jitted pure quad-matching stereo step:
+
+        (prev_l, prev_r: FrameFeatures, I1, I2, tr_prior [4,4], use_prior
+         (traced bool folded via where), key) ->
+            (cur_l, cur_r, matches, result: StereoResult)
+    """
+    p = params.match
+    radius = p.match_radius / 2 if p.half_resolution else p.match_radius
+    nbu = -(-w // p.match_binsize)
+    nbv = -(-h // p.match_binsize)
+    kw = dict(w=w, h=h, binsize=p.match_binsize, nbu=nbu, nbv=nbv,
+              radius=float(radius), disp_tol=float(p.match_disp_tolerance),
+              cap=engine.max_matches)
+    calib4 = jnp.asarray(
+        [params.calib.f, params.calib.cu, params.calib.cv, params.base],
+        jnp.float32)
+
+    def detect(img):
+        return detect_features(
+            img, w=w, h=h, nms_n=p.nms_n, nms_tau=p.nms_tau,
+            multi_stage=p.multi_stage, half_resolution=p.half_resolution,
+            cap_sparse=engine.max_features_sparse,
+            cap_dense=engine.max_features_dense)
+
+    def step(prev_l: FrameFeatures, prev_r: FrameFeatures, I1, I2, tr_prior,
+             key):
+        cur_l = detect(I1)
+        cur_r = detect(I2)
+        k_bucket, k_ransac = jax.random.split(key)
+
+        m1 = match_quad(prev_l.sparse, prev_r.sparse, cur_l.sparse,
+                        cur_r.sparse, None, tr_prior, calib4,
+                        use_rt=False, use_tr=True, **kw)
+        m1 = _grid_outliers(m1, 2, p.outlier_flow_tolerance,
+                            p.outlier_disp_tolerance, engine.max_matches)
+        rt = compute_prior_statistics(
+            m1, method=2, n_bins_u=nbu, n_bins_v=nbv,
+            binsize=p.match_binsize, match_radius=float(radius))
+        m2 = match_quad(prev_l.dense, prev_r.dense, cur_l.dense, cur_r.dense,
+                        rt, tr_prior, calib4, use_rt=True, use_tr=True, **kw)
+        if p.refinement > 0:
+            u1p, v1p = relocate_minimum(
+                cur_l.du_full, cur_l.dv_full, prev_l.du_full, prev_l.dv_full,
+                m2.u1c, m2.v1c, m2.u1p, m2.v1p, jnp.float32(w), jnp.float32(h))
+            u2c, v2c = relocate_minimum(
+                cur_l.du_full, cur_l.dv_full, cur_r.du_full, cur_r.dv_full,
+                m2.u1c, m2.v1c, m2.u2c, m2.v2c, jnp.float32(w), jnp.float32(h))
+            u2p, v2p = relocate_minimum(
+                cur_l.du_full, cur_l.dv_full, prev_r.du_full, prev_r.dv_full,
+                m2.u1c, m2.v1c, m2.u2p, m2.v2p, jnp.float32(w), jnp.float32(h))
+            m2 = m2._replace(u1p=u1p, v1p=v1p, u2c=u2c, v2c=v2c,
+                             u2p=u2p, v2p=v2p)
+        m2 = _grid_outliers(m2, 2, p.outlier_flow_tolerance,
+                            p.outlier_disp_tolerance, engine.max_matches)
+        m2 = bucket_matches(m2, k_bucket, params.bucket.max_features,
+                            params.bucket.bucket_width,
+                            params.bucket.bucket_height, engine.max_matches)
+        res = stereo_estimate_motion(
+            m2, k_ransac, calib4, jnp.float32(params.inlier_threshold),
+            ransac_iters=params.ransac_iters)
+        return cur_l, cur_r, m2, res
+
+    return jax.jit(step)

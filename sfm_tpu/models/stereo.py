@@ -73,8 +73,10 @@ def stereo_estimate_motion(
     ok_in = n_in >= 6  # viso_stereo.cpp:115
 
     # --- final refinement on all inliers (viso_stereo.cpp:115-131) ---
+    # reference eps is 1e-8 in double; in float32 GN steps bottom out near
+    # 1e-7, so we use 1e-6 (still ~0.1 um / 0.1 urad — far below pixel noise)
     wmask = best_mask.astype(pts.dtype)
-    tr_f, status_f = gn_solve(tr_h[best], pts, obs, wmask, calib, 101, 1e-8)
+    tr_f, status_f = gn_solve(tr_h[best], pts, obs, wmask, calib, 101, 1e-6)
     ok_conv = status_f == CONVERGED
 
     success = okN & ok_in & ok_conv & jnp.all(jnp.isfinite(tr_f))

@@ -36,6 +36,7 @@ def triangulate_linear(P1: jnp.ndarray, P2: jnp.ndarray,
 
     a0, a1 = rows(P1, u1, v1)
     b0, b1 = rows(P2, u2, v2)
+    a0, a1, b0, b1 = jnp.broadcast_arrays(a0, a1, b0, b1)
     J = jnp.stack([a0, a1, b0, b1], axis=-2)  # [..., N, 4, 4]
     return smallest_right_singular_vector(J)
 

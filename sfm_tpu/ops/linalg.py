@@ -62,10 +62,16 @@ def jacobi_eigh(A: jnp.ndarray, sweeps: int = 10):
         V = V.at[..., :, q].set(s_ * Vp + c_ * Vq)
         return A, V
 
-    for _ in range(sweeps):
+    def sweep(_, AV):
+        A, V = AV
         for p in range(d - 1):
             for q in range(p + 1, d):
                 A, V = rotate(A, V, p, q)
+        return A, V
+
+    # loop over sweeps (not unrolled: keeps the compiled graph ~sweeps x
+    # smaller; the d*(d-1)/2 rotations inside stay static)
+    A, V = jax.lax.fori_loop(0, sweeps, sweep, (A, V))
 
     w = jnp.diagonal(A, axis1=-2, axis2=-1)
     order = jnp.argsort(w, axis=-1)

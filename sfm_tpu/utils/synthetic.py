@@ -113,8 +113,9 @@ class SyntheticWorld:
             with np.errstate(divide="ignore", invalid="ignore"):
                 thit = tnum / denom
             ok = (thit > 0.1) & np.isfinite(thit)
-            pts = cam_center[None, None, :] + thit[..., None] * d_world
-            zc = thit  # parametric distance (monotone with depth)
+            thit_safe = np.where(ok, thit, 1.0)
+            pts = cam_center[None, None, :] + thit_safe[..., None] * d_world
+            zc = thit_safe  # parametric distance (monotone with depth)
             uu = (pts @ e1) * c.texture_scale
             vv = (pts @ e2) * c.texture_scale
             val = _bilinear(self.tex, uu, vv)
