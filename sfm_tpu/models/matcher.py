@@ -31,7 +31,7 @@ from ..ops.matching import (
     compute_prior_statistics,
     dedup_by_pixel,
     empty_matches,
-    sad_argmin_pass,
+    sad_argmin,
 )
 from ..ops.nms import MARGIN, FeatureSet, nms_features, sparse_nms_n
 from ..ops.outliers import delaunay_support_mask, grid_consistency_mask
@@ -133,7 +133,7 @@ def _pass(src: FeatureSet, dst: FeatureSet, stat_bin, rt, stage, flow,
         t_v = jnp.full((n,), -1.0, jnp.float32)
     u_min, u_max, v_min, v_max = _bounds(src.u, src.v, stat_bin, rt, stage,
                                          flow, radius, disp_tol)
-    idx, cost = sad_argmin_pass(
+    idx, cost = sad_argmin(
         src.desc.astype(jnp.float32), src.cls,
         u_min, u_max, v_min, v_max, t_u, t_v,
         dst.desc.astype(jnp.float32),

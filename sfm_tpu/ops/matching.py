@@ -157,6 +157,19 @@ def sad_argmin_pass(
     return idx.reshape(-1)[:N1], best.reshape(-1)[:N1]
 
 
+def sad_argmin(d1, c1, u_min, u_max, v_min, v_max, t_u, t_v,
+               d2, u2, v2, c2, valid2):
+    """Backend dispatcher: fused Pallas kernel on TPU (one HBM pass, no
+    [N1, N2] materialization), jnp scan elsewhere."""
+    if jax.default_backend() == "tpu":
+        from .pallas_kernels import sad_argmin_pallas
+
+        return sad_argmin_pallas(d1, c1, u_min, u_max, v_min, v_max, t_u, t_v,
+                                 d2, u2, v2, c2, valid2)
+    return sad_argmin_pass(d1, c1, u_min, u_max, v_min, v_max, t_u, t_v,
+                           d2, u2, v2, c2, valid2)
+
+
 # ---------------------------------------------------------------------------
 # Search-range construction
 # ---------------------------------------------------------------------------

@@ -48,12 +48,20 @@ def delaunay_support_mask(
         # reference returns the input unchanged (matcher.cpp:1210-1211)
         return valid.copy()
     pts = np.stack([u1c[idx], v1c[idx]], 1).astype(np.float64)
-    try:
-        from scipy.spatial import Delaunay
+    tri = None
+    try:  # native Bowyer-Watson (sfm_tpu/native), ~2.5x faster than qhull
+        from .. import native as native_mod
 
-        tri = Delaunay(pts, qhull_options="QJ").simplices
+        tri = native_mod.delaunay(pts.astype(np.float32))
     except Exception:
-        return valid.copy()
+        tri = None
+    if tri is None:
+        try:
+            from scipy.spatial import Delaunay
+
+            tri = Delaunay(pts, qhull_options="QJ").simplices
+        except Exception:
+            return valid.copy()
 
     support = np.zeros(n, np.int32)
     fu, fv, dp = flow_u[idx], flow_v[idx], disp[idx]

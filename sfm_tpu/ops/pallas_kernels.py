@@ -1,0 +1,181 @@
+"""Pallas TPU kernels for the matcher/RANSAC hot loops.
+
+These are the TPU equivalents of the reference's hand-written accelerated
+code paths:
+
+  * ``sad_argmin``: the per-feature SIMD SAD candidate scan
+    (matcher.cpp:892-963 + simd.hh:413-445) as a tiled cost/argmin kernel.
+    Instead of materializing the [N1, N2] cost matrix in HBM (what the pure
+    jnp path does), each grid step keeps a [TM, TN] tile in VMEM, applies the
+    class/range/prior masks, and folds a running (min cost, argmin) per row —
+    one pass over HBM for descriptors only.
+  * ``plane_sums``: the O(N^2) kernel-density ground-plane scoring
+    (viso_mono.cpp:74-98, plane_and_inliers.cl:142-162) as a tiled
+    exp-accumulation kernel.
+
+Both have jnp reference implementations (ops/matching.py, ops/plane.py) that
+the tests diff against; `interpret=True` is used automatically off-TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+MIN_COST_INIT = 10000000.0  # matcher.cpp:899
+BIG = 1e9
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# ---------------------------------------------------------------------------
+# SAD cost + argmin
+# ---------------------------------------------------------------------------
+
+def _sad_kernel(d1_ref, m1_ref, d2t_ref, m2_ref, cost_ref, idx_ref):
+    j = pl.program_id(1)
+    TN = d2t_ref.shape[1]
+
+    @pl.when(j == 0)
+    def _():
+        cost_ref[:] = jnp.full_like(cost_ref, MIN_COST_INIT)
+        idx_ref[:] = jnp.zeros_like(idx_ref)
+
+    d1 = d1_ref[:]          # [TM, 32]
+    d2t = d2t_ref[:]        # [32, TN]
+    TM = d1.shape[0]
+
+    acc = jnp.zeros((TM, TN), jnp.float32)
+    for k in range(32):
+        acc = acc + jnp.abs(d1[:, k][:, None] - d2t[k, :][None, :])
+
+    c1 = m1_ref[:, 0][:, None]
+    u_min = m1_ref[:, 1][:, None]
+    u_max = m1_ref[:, 2][:, None]
+    v_min = m1_ref[:, 3][:, None]
+    v_max = m1_ref[:, 4][:, None]
+    t_u = m1_ref[:, 5][:, None]
+    t_v = m1_ref[:, 6][:, None]
+    u2 = m2_ref[0, :][None, :]
+    v2 = m2_ref[1, :][None, :]
+    c2 = m2_ref[2, :][None, :]
+    valid2 = m2_ref[3, :][None, :]
+
+    use_t = (t_u >= 0) & (t_v >= 0)
+    dist = jnp.sqrt((u2 - t_u) ** 2 + (v2 - t_v) ** 2)
+    acc = acc + jnp.where(use_t, 4.0 * dist, 0.0)
+
+    mask = ((valid2 > 0.5) & (c2 == c1)
+            & (u2 >= u_min) & (u2 <= u_max)
+            & (v2 >= v_min) & (v2 <= v_max))
+    acc = jnp.where(mask, acc, BIG)
+
+    tile_min = jnp.min(acc, axis=1)
+    # explicit first-index tie-break (Mosaic's argmin lowering does not
+    # guarantee first-occurrence like jnp.argmin does)
+    lane = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 1)
+    tile_arg = jnp.min(
+        jnp.where(acc == tile_min[:, None], lane, TN), axis=1) + j * TN
+    better = tile_min < cost_ref[:, 0]
+    cost_ref[:, 0] = jnp.where(better, tile_min, cost_ref[:, 0])
+    idx_ref[:, 0] = jnp.where(better, tile_arg, idx_ref[:, 0])
+
+
+@functools.partial(jax.jit, static_argnames=("tm", "tn"))
+def sad_argmin_pallas(
+    d1, c1, u_min, u_max, v_min, v_max, t_u, t_v,
+    d2, u2, v2, c2, valid2,
+    tm: int = 256, tn: int = 512,
+):
+    """Drop-in for ops.matching.sad_argmin_pass (same semantics/returns)."""
+    N1 = d1.shape[0]
+    N2 = d2.shape[0]
+    tm = min(tm, N1)
+    tn = min(tn, N2)
+    assert N1 % tm == 0 and N2 % tn == 0, (N1, tm, N2, tn)
+
+    m1 = jnp.stack([c1.astype(jnp.float32), u_min, u_max, v_min, v_max,
+                    t_u, t_v, jnp.zeros_like(u_min)], axis=1)  # [N1, 8]
+    m2 = jnp.stack([u2.astype(jnp.float32), v2.astype(jnp.float32),
+                    c2.astype(jnp.float32), valid2.astype(jnp.float32),
+                    jnp.zeros_like(u2, dtype=jnp.float32),
+                    jnp.zeros_like(u2, dtype=jnp.float32),
+                    jnp.zeros_like(u2, dtype=jnp.float32),
+                    jnp.zeros_like(u2, dtype=jnp.float32)], axis=0)  # [8, N2]
+    d2t = d2.astype(jnp.float32).T  # [32, N2]
+
+    grid = (N1 // tm, N2 // tn)
+    cost, idx = pl.pallas_call(
+        _sad_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tm, 32), lambda i, j: (i, 0)),
+            pl.BlockSpec((tm, 8), lambda i, j: (i, 0)),
+            pl.BlockSpec((32, tn), lambda i, j: (0, j)),
+            pl.BlockSpec((8, tn), lambda i, j: (0, j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((tm, 1), lambda i, j: (i, 0)),
+            pl.BlockSpec((tm, 1), lambda i, j: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((N1, 1), jnp.int32),
+        ],
+        interpret=_interpret(),
+    )(d1.astype(jnp.float32), m1, d2t, m2)
+    cost = cost[:, 0]
+    idx = idx[:, 0]
+    idx = jnp.where(cost < MIN_COST_INIT, idx, 0)
+    return idx, cost
+
+
+# ---------------------------------------------------------------------------
+# Plane density scoring
+# ---------------------------------------------------------------------------
+
+def _plane_kernel(di_ref, dj_ref, w_ref, sums_ref):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        sums_ref[:] = jnp.zeros_like(sums_ref)
+
+    di = di_ref[:, 0][:, None]     # [TM, 1]
+    dj = dj_ref[0, :][None, :]     # [1, TN]
+    vj = dj_ref[1, :][None, :]
+    w = w_ref[0, 0]
+    diff = di - dj
+    k = jnp.exp(-diff * diff * w) * vj
+    sums_ref[:, 0] += jnp.sum(k, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("tm", "tn"))
+def plane_sums_pallas(d, valid, weight, tm: int = 512, tn: int = 512):
+    """sums[i] = sum_j valid_j * exp(-(d_i - d_j)^2 * weight)."""
+    N = d.shape[0]
+    tm = min(tm, N)
+    tn = min(tn, N)
+    assert N % tm == 0 and N % tn == 0
+    dj = jnp.stack([d, valid.astype(jnp.float32)], axis=0)  # [2, N]
+    w = jnp.full((1, 1), weight, jnp.float32)
+    sums = pl.pallas_call(
+        _plane_kernel,
+        grid=(N // tm, N // tn),
+        in_specs=[
+            pl.BlockSpec((tm, 1), lambda i, j: (i, 0)),
+            pl.BlockSpec((2, tn), lambda i, j: (0, j)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((tm, 1), lambda i, j: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((N, 1), jnp.float32),
+        interpret=_interpret(),
+    )(d[:, None].astype(jnp.float32), dj, w)
+    return sums[:, 0]

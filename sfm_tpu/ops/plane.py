@@ -30,10 +30,15 @@ def find_best_plane(d: jnp.ndarray, valid: jnp.ndarray,
     over all valid points. Ties keep the first index (strict >,
     viso_mono.cpp:91-94); if no candidate scores, index 0 is returned like
     the reference's best_idx=0 init."""
-    diff = d[:, None] - d[None, :]
-    k = jnp.exp(-diff * diff * weight)
-    k = jnp.where(valid[None, :], k, 0.0)
-    sums = jnp.sum(k, axis=1)
+    if jax.default_backend() == "tpu":
+        from .pallas_kernels import plane_sums_pallas
+
+        sums = plane_sums_pallas(d, valid, weight)
+    else:
+        diff = d[:, None] - d[None, :]
+        k = jnp.exp(-diff * diff * weight)
+        k = jnp.where(valid[None, :], k, 0.0)
+        sums = jnp.sum(k, axis=1)
     cand = valid & (d > threshold)
     sums = jnp.where(cand, sums, 0.0)
     best = jnp.argmax(sums)

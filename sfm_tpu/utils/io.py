@@ -18,6 +18,14 @@ import numpy as np
 
 
 def _decode(path: str) -> np.ndarray:
+    try:  # native decoder (sfm_tpu/native) releases the GIL for prefetch
+        from .. import native as native_mod
+
+        img = native_mod.decode_image(path)
+        if img is not None:
+            return img
+    except Exception:
+        pass
     from PIL import Image
 
     with Image.open(path) as im:

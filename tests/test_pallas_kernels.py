@@ -1,0 +1,44 @@
+"""Pallas kernels vs their jnp reference implementations (interpret mode on
+CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sfm_tpu.ops import matching
+from sfm_tpu.ops.pallas_kernels import plane_sums_pallas, sad_argmin_pallas
+
+
+def test_sad_argmin_pallas_matches_jnp(rng):
+    n1, n2 = 128, 256
+    d1 = jnp.asarray(rng.randint(0, 256, (n1, 32)), jnp.float32)
+    d2 = jnp.asarray(rng.randint(0, 256, (n2, 32)), jnp.float32)
+    c1 = jnp.asarray(rng.randint(0, 4, n1), jnp.int32)
+    c2 = jnp.asarray(rng.randint(0, 4, n2), jnp.int32)
+    u1 = jnp.asarray(rng.randint(0, 300, n1), jnp.float32)
+    v1 = jnp.asarray(rng.randint(0, 150, n1), jnp.float32)
+    u2 = jnp.asarray(rng.randint(0, 300, n2), jnp.float32)
+    v2 = jnp.asarray(rng.randint(0, 150, n2), jnp.float32)
+    valid2 = jnp.asarray(rng.rand(n2) > 0.2)
+    t_u = jnp.where(jnp.asarray(rng.rand(n1) > 0.5), u1, -1.0)
+    t_v = jnp.where(t_u >= 0, v1, -1.0)
+    args = (d1, c1, u1 - 60, u1 + 60, v1 - 40, v1 + 40, t_u, t_v,
+            d2, u2, v2, c2, valid2)
+
+    idx_ref, cost_ref = matching.sad_argmin_pass(*args, chunk=64)
+    idx_pl, cost_pl = sad_argmin_pallas(*args, tm=64, tn=64)
+    np.testing.assert_array_equal(np.asarray(idx_pl), np.asarray(idx_ref))
+    sel = np.asarray(cost_ref) < 1e7
+    np.testing.assert_allclose(np.asarray(cost_pl)[sel],
+                               np.asarray(cost_ref)[sel], rtol=1e-6)
+
+
+def test_plane_sums_pallas_matches_jnp(rng):
+    n = 256
+    d = jnp.asarray(rng.uniform(0, 3, n), jnp.float32)
+    valid = jnp.asarray(rng.rand(n) > 0.3)
+    w = 7.5
+    got = plane_sums_pallas(d, valid, w, tm=64, tn=64)
+    diff = d[:, None] - d[None, :]
+    ref = jnp.sum(jnp.where(valid[None, :], jnp.exp(-diff * diff * w), 0.0), axis=1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5)
