@@ -38,6 +38,13 @@ from ..ops.outliers import delaunay_support_mask, grid_consistency_mask
 from ..ops.refine import parabolic_fitting, relocate_minimum
 
 
+@jax.jit
+def _compact_with_mask(m: Matches, keep) -> Matches:
+    """Jitted mask+compact (keeps the host path to one dispatch instead of
+    ~40 eager ops, which matters over the TPU tunnel)."""
+    return compact_matches(m._replace(valid=keep), m.valid.shape[0])
+
+
 class FrameFeatures(NamedTuple):
     """Features + gradients for one image of one frame."""
 
@@ -138,7 +145,7 @@ def _pass(src: FeatureSet, dst: FeatureSet, stat_bin, rt, stage, flow,
         u_min, u_max, v_min, v_max, t_u, t_v,
         dst.desc.astype(jnp.float32),
         dst.u.astype(jnp.float32), dst.v.astype(jnp.float32),
-        dst.cls, dst.valid,
+        dst.cls, dst.valid, valid1=src.valid,
     )
     return idx
 
@@ -354,7 +361,7 @@ class Matcher:
                 m.u1c, m.v1c, m.valid, flow_u, flow_v, disp, method,
                 float(self.p.outlier_flow_tolerance),
                 float(self.p.outlier_disp_tolerance))
-            return compact_matches(m._replace(valid=keep), m.valid.shape[0])
+            return _compact_with_mask(m, keep)
         u1c = np.asarray(m.u1c)
         v1c = np.asarray(m.v1c)
         valid = np.asarray(m.valid)
@@ -366,8 +373,7 @@ class Matcher:
             u1c, v1c, valid, flow_u, flow_v, disp, method,
             float(self.p.outlier_flow_tolerance),
             float(self.p.outlier_disp_tolerance))
-        return compact_matches(m._replace(valid=jnp.asarray(keep)),
-                               m.valid.shape[0])
+        return _compact_with_mask(m, jnp.asarray(keep))
 
     # -- refinement ---------------------------------------------------------
     def _refine(self, m: Matches, method: int) -> Matches:
@@ -398,8 +404,8 @@ class Matcher:
             u2p, v2p, ok3 = run(p2.du_full, p2.dv_full, u2p, v2p)
             ok = ok & ok3
         m = m._replace(u1p=u1p, v1p=v1p, u2p=u2p, v2p=v2p,
-                       u2c=u2c, v2c=v2c, valid=ok)
-        return compact_matches(m, m.valid.shape[0])
+                       u2c=u2c, v2c=v2c)
+        return _compact_with_mask(m, ok)
 
     # -- main entry ---------------------------------------------------------
     def match_features(self, method: int, tr_delta: Optional[np.ndarray] = None):

@@ -189,8 +189,8 @@ def recon_update(
     # refinePoint: 3-dof GN over all observations (reconstruction.cpp:179-299)
     P_obs = proj[obs_ago]  # [T, L, 3, 4]
 
-    def gn_iter(carry, _):
-        p, done, failed = carry
+    def gn_iter(carry):
+        it, p, done, failed = carry
         ph = jnp.concatenate([p, jnp.ones_like(p[:, :1])], 1)  # [T, 4]
         a = jnp.einsum("tlj,tj->tl", P_obs[:, :, 0, :], ph)
         b = jnp.einsum("tlj,tj->tl", P_obs[:, :, 1, :], ph)
@@ -211,18 +211,23 @@ def recon_update(
              + jnp.einsum("tli,tlj->tij", Jv, Jv))
         g = (jnp.einsum("tli,tl->ti", Ju, ru)
              + jnp.einsum("tli,tl->ti", Jv, rv))
-        step = jnp.linalg.solve(A, g[..., None])[..., 0]
-        solve_ok = jnp.all(jnp.isfinite(step), axis=1)
+        from ..ops.linalg import solve_spd_small
+
+        step, solve_ok = solve_spd_small(A, g)
         conv = jnp.all(jnp.abs(step) < 1e-5, axis=1)
         upd = ~done & ~failed & solve_ok & ~sing
         p = jnp.where(upd[:, None], p + step, p)
         done = done | (upd & conv)
         failed = failed | (~done & ~failed & (~solve_ok | sing))
-        return (p, done, failed), None
+        return it + 1, p, done, failed
+
+    def gn_cond(carry):
+        it, _, done, failed = carry
+        return (it < 21) & jnp.any(emit & ~done & ~failed)
 
     done0 = jnp.zeros((T_cap,), bool)
-    (p_ref, converged, gn_failed), _ = jax.lax.scan(
-        gn_iter, (p0, done0, done0), None, length=21)
+    _, p_ref, converged, gn_failed = jax.lax.while_loop(
+        gn_cond, gn_iter, (jnp.int32(0), p0, done0, done0))
     ok_gn = converged & ~gn_failed
 
     # pointDistance / rayAngle gates (reconstruction.cpp:204-229)

@@ -49,10 +49,12 @@ def e_to_rt(E: jnp.ndarray, K: jnp.ndarray, u1p, v1p, u1c, v1c, valid):
     U, S, V = svd3(E)
     T = U @ _Z @ U.T
     t = jnp.stack([T[2, 1], T[0, 2], T[1, 0]])
+    from .linalg import det3
+
     Ra = U @ _W @ V.T
     Rb = U @ _W.T @ V.T
-    Ra = jnp.where(jnp.linalg.det(Ra) < 0, -Ra, Ra)
-    Rb = jnp.where(jnp.linalg.det(Rb) < 0, -Rb, Rb)
+    Ra = jnp.where(det3(Ra) < 0, -Ra, Ra)
+    Rb = jnp.where(det3(Rb) < 0, -Rb, Rb)
 
     R4 = jnp.stack([Ra, Ra, Rb, Rb])            # [4,3,3]
     t4 = jnp.stack([t, -t, t, -t])              # [4,3]

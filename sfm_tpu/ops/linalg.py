@@ -119,6 +119,80 @@ def svd3(E: jnp.ndarray, sweeps: int = 12):
     return U, s, V
 
 
+def solve_spd_small(A: jnp.ndarray, b: jnp.ndarray):
+    """Batched solve for small SPD systems (n <= ~8) via fully unrolled
+    Cholesky — pure VPU arithmetic.
+
+    jnp.linalg.solve lowers to an XLA custom-call (host round trip on some
+    runtimes, serialization on all), which dominated the GN inner loops; the
+    unrolled form is branch-free elementwise math. Returns (x, ok) where
+    ok=False marks non-SPD systems (the reference's Gauss-Jordan tiny-pivot
+    FAILED signal, matrix.cpp:424-512).
+    """
+    n = A.shape[-1]
+    L = [[None] * n for _ in range(n)]
+    ok = None
+    for j in range(n):
+        s = A[..., j, j]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        okj = s > 1e-20
+        ok = okj if ok is None else ok & okj
+        Ljj = jnp.sqrt(jnp.maximum(s, 1e-30))
+        L[j][j] = Ljj
+        for i in range(j + 1, n):
+            t = A[..., i, j]
+            for k in range(j):
+                t = t - L[i][k] * L[j][k]
+            L[i][j] = t / Ljj
+    y = [None] * n
+    for i in range(n):
+        t = b[..., i]
+        for k in range(i):
+            t = t - L[i][k] * y[k]
+        y[i] = t / L[i][i]
+    x = [None] * n
+    for i in reversed(range(n)):
+        t = y[i]
+        for k in range(i + 1, n):
+            t = t - L[k][i] * x[k]
+        x[i] = t / L[i][i]
+    xs = jnp.stack(x, axis=-1)
+    ok = ok & jnp.all(jnp.isfinite(xs), axis=-1)
+    return xs, ok
+
+
+def inv3(M: jnp.ndarray, eps: float = 1e-30) -> jnp.ndarray:
+    """Batched closed-form 3x3 inverse (adjugate / det)."""
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    A = e * i - f * h
+    B = c * h - b * i
+    C = b * f - c * e
+    D = f * g - d * i
+    E = a * i - c * g
+    F = c * d - a * f
+    G = d * h - e * g
+    H = b * g - a * h
+    I = a * e - b * d
+    det = a * A + b * D + c * G
+    det = jnp.where(jnp.abs(det) > eps, det, eps)
+    adj = jnp.stack([
+        jnp.stack([A, B, C], -1),
+        jnp.stack([D, E, F], -1),
+        jnp.stack([G, H, I], -1),
+    ], -2)
+    return adj / det[..., None, None]
+
+
+def det3(M: jnp.ndarray) -> jnp.ndarray:
+    """Batched 3x3 determinant (avoids the linalg custom-call)."""
+    return (M[..., 0, 0] * (M[..., 1, 1] * M[..., 2, 2] - M[..., 1, 2] * M[..., 2, 1])
+            - M[..., 0, 1] * (M[..., 1, 0] * M[..., 2, 2] - M[..., 1, 2] * M[..., 2, 0])
+            + M[..., 0, 2] * (M[..., 1, 0] * M[..., 2, 1] - M[..., 1, 1] * M[..., 2, 0]))
+
+
 def solve_psd(A: jnp.ndarray, b: jnp.ndarray):
     """Solve A x = b for small SPD-ish A with failure detection.
 

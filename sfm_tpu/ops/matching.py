@@ -158,14 +158,14 @@ def sad_argmin_pass(
 
 
 def sad_argmin(d1, c1, u_min, u_max, v_min, v_max, t_u, t_v,
-               d2, u2, v2, c2, valid2):
+               d2, u2, v2, c2, valid2, valid1=None):
     """Backend dispatcher: fused Pallas kernel on TPU (one HBM pass, no
-    [N1, N2] materialization), jnp scan elsewhere."""
+    [N1, N2] materialization, tile skipping), jnp scan elsewhere."""
     if jax.default_backend() == "tpu":
         from .pallas_kernels import sad_argmin_pallas
 
         return sad_argmin_pallas(d1, c1, u_min, u_max, v_min, v_max, t_u, t_v,
-                                 d2, u2, v2, c2, valid2)
+                                 d2, u2, v2, c2, valid2, valid1=valid1)
     return sad_argmin_pass(d1, c1, u_min, u_max, v_min, v_max, t_u, t_v,
                            d2, u2, v2, c2, valid2)
 
@@ -227,30 +227,56 @@ def compute_prior_statistics(
     bv = jnp.floor(ref_v / binsize).astype(jnp.int32)
 
     big = jnp.float32(1e6)
-    dmin = jnp.full((n_bins, n_stages), big, jnp.float32)
-    dmax = jnp.full((n_bins, n_stages), -big, jnp.float32)
-    vmin = jnp.full((n_bins, n_stages), big, jnp.float32)
-    vmax = jnp.full((n_bins, n_stages), -big, jnp.float32)
-    cnt = jnp.zeros((n_bins,), jnp.int32)
-
     valid = m.valid
-    du_stack = jnp.stack([jnp.where(valid, d[0], 0.0) for d in deltas], -1)  # [cap, S]
-    dv_stack = jnp.stack([jnp.where(valid, d[1], 0.0) for d in deltas], -1)
+    du_stack = jnp.stack([d[0] for d in deltas], -1)  # [cap, S]
+    dv_stack = jnp.stack([d[1] for d in deltas], -1)
 
-    for dbv in (-1, 0, 1):
-        for dbu in (-1, 0, 1):
-            b_u = bu + dbu
-            b_v = bv + dbv
-            in_range = ((b_u >= 0) & (b_u < n_bins_u)
-                        & (b_v >= 0) & (b_v < n_bins_v))
-            bid = jnp.where(valid & in_range,
-                            b_v * n_bins_u + b_u, n_bins)  # overflow slot
-            dmin = _scatter_ext(dmin, bid, du_stack, valid, "min", big)
-            dmax = _scatter_ext(dmax, bid, du_stack, valid, "max", big)
-            vmin = _scatter_ext(vmin, bid, dv_stack, valid, "min", big)
-            vmax = _scatter_ext(vmax, bid, dv_stack, valid, "max", big)
-            cnt = cnt.at[jnp.clip(bid, 0, n_bins - 1)].add(
-                jnp.where(valid & (bid < n_bins), 1, 0))
+    # Per-bin min/max via a [bins, cap] membership mask + masked reduce (TPU
+    # read-modify-write scatters serialize; this is dense VPU work), then the
+    # reference's clipped +-1-bin accumulation (matcher.cpp:793-809) becomes
+    # a 3x3 neighborhood min/max on a 1-padded bin grid. Off-grid centers
+    # clip to the pad ring, which reproduces the reference's end-clipping
+    # (a far-off center still feeds the nearest edge bin).
+    gu = n_bins_u + 2
+    gv = n_bins_v + 2
+    bu_e = jnp.clip(bu, -1, n_bins_u) + 1
+    bv_e = jnp.clip(bv, -1, n_bins_v) + 1
+    bid = jnp.where(valid, bv_e * gu + bu_e, gv * gu)
+    member = bid[None, :] == jax.lax.broadcasted_iota(
+        jnp.int32, (gv * gu, 1), 0)  # [gv*gu, cap]
+
+    def bin_reduce(vals, mode):
+        fill = big if mode == "min" else -big
+        masked = jnp.where(member[:, :, None], vals[None, :, :], fill)
+        red = (jnp.min if mode == "min" else jnp.max)(masked, axis=1)
+        return red.reshape(gv, gu, n_stages)
+
+    dmin_b = bin_reduce(du_stack, "min")
+    dmax_b = bin_reduce(du_stack, "max")
+    vmin_b = bin_reduce(dv_stack, "min")
+    vmax_b = bin_reduce(dv_stack, "max")
+    cnt_b = jnp.sum(member, axis=1).reshape(gv, gu).astype(jnp.float32)
+
+    def neigh(x, mode):
+        acc = None
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                s = jnp.roll(x, (dy, dx), (0, 1))
+                if acc is None:
+                    acc = s
+                elif mode == "min":
+                    acc = jnp.minimum(acc, s)
+                elif mode == "max":
+                    acc = jnp.maximum(acc, s)
+                else:
+                    acc = acc + s
+        return acc[1:-1, 1:-1]  # interior = real bins; pad ring absorbs wrap
+
+    dmin = neigh(dmin_b, "min").reshape(n_bins, n_stages)
+    dmax = neigh(dmax_b, "max").reshape(n_bins, n_stages)
+    vmin = neigh(vmin_b, "min").reshape(n_bins, n_stages)
+    vmax = neigh(vmax_b, "max").reshape(n_bins, n_stages)
+    cnt = neigh(cnt_b, "sum").reshape(n_bins)
 
     has_obs = (cnt > 0)[:, None]
     r = jnp.float32(match_radius)
@@ -271,19 +297,6 @@ def compute_prior_statistics(
     return RangeTable(dmin, dmax, vmin, vmax)
 
 
-def _scatter_ext(table, bid, vals, valid, mode, big):
-    """Scatter-min/max vals[cap, S] into table[n_bins, S] by bid."""
-    n_bins = table.shape[0]
-    tab = jnp.concatenate([table, jnp.zeros((1,) + table.shape[1:], table.dtype)], 0)
-    if mode == "min":
-        v = jnp.where(valid[:, None], vals, big)
-        tab = tab.at[bid].min(v)
-    else:
-        v = jnp.where(valid[:, None], vals, -big)
-        tab = tab.at[bid].max(v)
-    return tab[:n_bins]
-
-
 def lookup_ranges(rt: RangeTable, stat_bin: jnp.ndarray, stage: int):
     """Absolute-range bounds offsets for each row's stat bin."""
     return (rt.u_min[stat_bin, stage], rt.u_max[stat_bin, stage],
@@ -296,17 +309,22 @@ def lookup_ranges(rt: RangeTable, stat_bin: jnp.ndarray, stage: int):
 
 def dedup_by_pixel(keep: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, w: int, h: int):
     """First match (smallest row index) claims each integer pixel
-    (matcher.cpp:1036-1039 M array semantics)."""
+    (matcher.cpp:1036-1039 M array semantics).
+
+    Pairwise formulation: both a scatter-min over a [w*h] owner array and a
+    sort are slow lowering paths on TPU; an [N, N] equality sweep is ~16M
+    VPU lane-ops and fuses into one pass."""
     n = keep.shape[0]
+    ar = jnp.arange(n, dtype=jnp.int32)
     key = jnp.clip(v.astype(jnp.int32), 0, h - 1) * w + jnp.clip(
         u.astype(jnp.int32), 0, w - 1)
-    key = jnp.where(keep, key, w * h)  # trash slot
-    owner = jnp.full((w * h + 1,), n, jnp.int32)
-    owner = owner.at[key].min(jnp.arange(n, dtype=jnp.int32))
-    return keep & (owner[key] == jnp.arange(n, dtype=jnp.int32))
+    key = jnp.where(keep, key, -1 - ar)  # invalid: unique negative keys
+    dup = jnp.any((key[:, None] == key[None, :]) & (ar[None, :] < ar[:, None]),
+                  axis=1)
+    return keep & ~dup
 
 
-@functools.partial(jax.jit, static_argnames=("cap",))
+@functools.partial(jax.jit, static_argnames=("cap", "max_features"))
 def bucket_matches(
     m: Matches,
     key: jnp.ndarray,
@@ -322,6 +340,10 @@ def bucket_matches(
     counter-based PRNG key for determinism.
     """
     n = m.u1c.shape[0]
+    if max_features >= n:
+        # keeps every match (the CLI/bench "disable bucketing" setting,
+        # main.cpp:71); skip the TPU sort, only emission order differs
+        return compact_matches(m, cap)
     # bucket ids (cols from max coordinate, matcher.cpp:246-255)
     u_max = jnp.max(jnp.where(m.valid, m.u1c, 0.0))
     cols = jnp.floor(u_max / bucket_width).astype(jnp.int32) + 1

@@ -80,7 +80,8 @@ def delaunay_support_mask(
     return keep
 
 
-@functools.partial(jax.jit, static_argnames=("method", "k"))
+@functools.partial(jax.jit, static_argnames=("method", "binsize", "grid_w",
+                                             "grid_h"))
 def grid_consistency_mask(
     u1c: jnp.ndarray,
     v1c: jnp.ndarray,
@@ -91,33 +92,82 @@ def grid_consistency_mask(
     method: int,
     flow_tol: float,
     disp_tol: float,
-    k: int = 6,
+    binsize: int = 50,
+    grid_w: int = 32,
+    grid_h: int = 16,
 ) -> jnp.ndarray:
-    """On-device approximation: each match votes with its k nearest neighbors
-    (bidirectional like the shared-edge double count), keep support >= 4."""
-    big = jnp.float32(1e12)
-    d2 = ((u1c[:, None] - u1c[None, :]) ** 2 +
-          (v1c[:, None] - v1c[None, :]) ** 2)
-    pair_ok = valid[:, None] & valid[None, :]
-    d2 = jnp.where(pair_ok, d2, big)
-    d2 = jnp.fill_diagonal(d2, big, inplace=False)
-    _, nbr = jax.lax.top_k(-d2, k)  # [N, k] nearest neighbors
+    """On-device O(N) approximation of the Delaunay support filter: each
+    match must agree with the robust (trimmed-mean) local flow/disparity of
+    its 3x3 spatial bin neighborhood.
 
+    Two passes: a plain neighborhood mean, then a mean over the entries
+    within 2x tolerance of the first estimate (rejecting outlier pull), then
+    the final tolerance test — mirroring the edge-agreement semantics of
+    matcher.cpp:1207-1377 without the O(N^2)/pointer-chasing triangulation.
+    """
+    n_bins = grid_w * grid_h
+    bu = jnp.clip((u1c / binsize).astype(jnp.int32), 0, grid_w - 1)
+    bv = jnp.clip((v1c / binsize).astype(jnp.int32), 0, grid_h - 1)
+
+    stats = jnp.stack([flow_u, flow_v, disp], axis=1)  # [N, 3]
+    statsz = jnp.where(valid[:, None], stats, 0.0)
+
+    bid = jnp.where(valid, bv * grid_w + bu, n_bins)
+
+    def neighborhood_mean(weight):
+        """weight [N]: per-match inclusion; returns per-match 3x3-bin mean.
+
+        Bin sums via one-hot matmul (MXU) — TPU scatter-add with duplicate
+        indices lowers to a sequential loop (~4 us/row), which made this the
+        pipeline bottleneck; the matmul formulation is ~1000x faster."""
+        one_hot = (bid[:, None] == jax.lax.broadcasted_iota(
+            jnp.int32, (1, n_bins), 1)).astype(jnp.float32)  # [N, n_bins]
+        payload = jnp.concatenate(
+            [statsz * weight[:, None], weight[:, None]], axis=1)  # [N, 4]
+        sums = jnp.einsum("nb,nc->bc", one_hot, payload,
+                          preferred_element_type=jnp.float32)  # [n_bins, 4]
+        ssum2 = sums[:, :3].reshape(grid_h, grid_w, 3)
+        scnt2 = sums[:, 3].reshape(grid_h, grid_w)
+        # 3x3 box-sum via shifted adds (cheap, static)
+        def box(x):
+            acc = None
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    s = jnp.roll(x, (-dy, -dx), (0, 1))
+                    # zero out wrapped rows/cols
+                    if dy == -1:
+                        s = s.at[-1:].set(0)
+                    if dy == 1:
+                        s = s.at[:1].set(0)
+                    if dx == -1:
+                        s = s.at[:, -1:].set(0)
+                    if dx == 1:
+                        s = s.at[:, :1].set(0)
+                    acc = s if acc is None else acc + s
+            return acc
+
+        nsum = box(ssum2)
+        ncnt = box(scnt2)
+        mean = nsum / jnp.maximum(ncnt, 1.0)[..., None]
+        return mean[bv, bu], ncnt[bv, bu]
+
+    ones = valid.astype(jnp.float32)
+    mean1, _ = neighborhood_mean(ones)
+
+    # trim: keep entries near the first-pass mean for the second pass
+    close = ((jnp.abs(stats[:, 0] - mean1[:, 0]) +
+              jnp.abs(stats[:, 1] - mean1[:, 1]) < 2 * flow_tol) &
+             (jnp.abs(stats[:, 2] - mean1[:, 2]) < 2 * disp_tol))
+    mean2, cnt2 = neighborhood_mean(ones * close.astype(jnp.float32))
+    mean = jnp.where((cnt2 >= 3)[:, None], mean2, mean1)
+
+    flow_err = (jnp.abs(stats[:, 0] - mean[:, 0]) +
+                jnp.abs(stats[:, 1] - mean[:, 1]))
+    disp_err = jnp.abs(stats[:, 2] - mean[:, 2])
     if method == 0:
-        edge_ok = (jnp.abs(flow_u[:, None] - flow_u[nbr]) +
-                   jnp.abs(flow_v[:, None] - flow_v[nbr])) < flow_tol
+        ok = flow_err < flow_tol
     elif method == 1:
-        edge_ok = jnp.abs(disp[:, None] - disp[nbr]) < disp_tol
+        ok = disp_err < disp_tol
     else:
-        edge_ok = (jnp.abs(disp[:, None] - disp[nbr]) < disp_tol) & (
-            (jnp.abs(flow_u[:, None] - flow_u[nbr]) +
-             jnp.abs(flow_v[:, None] - flow_v[nbr])) < flow_tol)
-    edge_ok = edge_ok & valid[nbr] & valid[:, None]
-
-    support = jnp.sum(edge_ok.astype(jnp.int32), axis=1)
-    # reciprocal votes: each accepted edge also supports the neighbor
-    n = u1c.shape[0]
-    support = support + jnp.zeros((n,), jnp.int32).at[
-        jnp.where(edge_ok, nbr, n).reshape(-1)
-    ].add(1, mode="drop")
-    return valid & (support >= 4)
+        ok = (flow_err < flow_tol) & (disp_err < disp_tol)
+    return valid & ok

@@ -39,7 +39,9 @@ def _interpret() -> bool:
 # SAD cost + argmin
 # ---------------------------------------------------------------------------
 
-def _sad_kernel(d1_ref, m1_ref, d2t_ref, m2_ref, cost_ref, idx_ref):
+def _sad_kernel(row_lo_ref, row_hi_ref, col_lo_ref, col_hi_ref,
+                d1_ref, m1_ref, d2t_ref, m2_ref, cost_ref, idx_ref):
+    i = pl.program_id(0)
     j = pl.program_id(1)
     TN = d2t_ref.shape[1]
 
@@ -48,58 +50,73 @@ def _sad_kernel(d1_ref, m1_ref, d2t_ref, m2_ref, cost_ref, idx_ref):
         cost_ref[:] = jnp.full_like(cost_ref, MIN_COST_INIT)
         idx_ref[:] = jnp.zeros_like(idx_ref)
 
-    d1 = d1_ref[:]          # [TM, 32]
-    d2t = d2t_ref[:]        # [32, TN]
-    TM = d1.shape[0]
+    # tile skip: features are emitted in ascending-u order (nms.py emission),
+    # so each candidate tile spans a narrow u band; compare it against the
+    # row tile's aggregate search window and skip disjoint tiles (the analog
+    # of the reference's bin-restricted candidate scan, matcher.cpp:931-940)
+    overlap = ((col_lo_ref[0, j] <= row_hi_ref[i, 0])
+               & (col_hi_ref[0, j] >= row_lo_ref[i, 0]))
 
-    acc = jnp.zeros((TM, TN), jnp.float32)
-    for k in range(32):
-        acc = acc + jnp.abs(d1[:, k][:, None] - d2t[k, :][None, :])
+    @pl.when(overlap)
+    def _():
+        d1 = d1_ref[:]          # [TM, 32]
+        d2t = d2t_ref[:]        # [32, TN]
+        TM = d1.shape[0]
 
-    c1 = m1_ref[:, 0][:, None]
-    u_min = m1_ref[:, 1][:, None]
-    u_max = m1_ref[:, 2][:, None]
-    v_min = m1_ref[:, 3][:, None]
-    v_max = m1_ref[:, 4][:, None]
-    t_u = m1_ref[:, 5][:, None]
-    t_v = m1_ref[:, 6][:, None]
-    u2 = m2_ref[0, :][None, :]
-    v2 = m2_ref[1, :][None, :]
-    c2 = m2_ref[2, :][None, :]
-    valid2 = m2_ref[3, :][None, :]
+        acc = jnp.zeros((TM, TN), jnp.float32)
+        for k in range(32):
+            acc = acc + jnp.abs(d1[:, k][:, None] - d2t[k, :][None, :])
 
-    use_t = (t_u >= 0) & (t_v >= 0)
-    dist = jnp.sqrt((u2 - t_u) ** 2 + (v2 - t_v) ** 2)
-    acc = acc + jnp.where(use_t, 4.0 * dist, 0.0)
+        c1 = m1_ref[:, 0][:, None]
+        u_min = m1_ref[:, 1][:, None]
+        u_max = m1_ref[:, 2][:, None]
+        v_min = m1_ref[:, 3][:, None]
+        v_max = m1_ref[:, 4][:, None]
+        t_u = m1_ref[:, 5][:, None]
+        t_v = m1_ref[:, 6][:, None]
+        u2 = m2_ref[0, :][None, :]
+        v2 = m2_ref[1, :][None, :]
+        c2 = m2_ref[2, :][None, :]
+        valid2 = m2_ref[3, :][None, :]
 
-    mask = ((valid2 > 0.5) & (c2 == c1)
-            & (u2 >= u_min) & (u2 <= u_max)
-            & (v2 >= v_min) & (v2 <= v_max))
-    acc = jnp.where(mask, acc, BIG)
+        use_t = (t_u >= 0) & (t_v >= 0)
+        dist = jnp.sqrt((u2 - t_u) ** 2 + (v2 - t_v) ** 2)
+        acc = acc + jnp.where(use_t, 4.0 * dist, 0.0)
 
-    tile_min = jnp.min(acc, axis=1)
-    # explicit first-index tie-break (Mosaic's argmin lowering does not
-    # guarantee first-occurrence like jnp.argmin does)
-    lane = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 1)
-    tile_arg = jnp.min(
-        jnp.where(acc == tile_min[:, None], lane, TN), axis=1) + j * TN
-    better = tile_min < cost_ref[:, 0]
-    cost_ref[:, 0] = jnp.where(better, tile_min, cost_ref[:, 0])
-    idx_ref[:, 0] = jnp.where(better, tile_arg, idx_ref[:, 0])
+        mask = ((valid2 > 0.5) & (c2 == c1)
+                & (u2 >= u_min) & (u2 <= u_max)
+                & (v2 >= v_min) & (v2 <= v_max))
+        acc = jnp.where(mask, acc, BIG)
+
+        tile_min = jnp.min(acc, axis=1)
+        # explicit first-index tie-break (Mosaic's argmin lowering does not
+        # guarantee first-occurrence like jnp.argmin does)
+        lane = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 1)
+        tile_arg = jnp.min(
+            jnp.where(acc == tile_min[:, None], lane, TN), axis=1) + j * TN
+        better = tile_min < cost_ref[:, 0]
+        cost_ref[:, 0] = jnp.where(better, tile_min, cost_ref[:, 0])
+        idx_ref[:, 0] = jnp.where(better, tile_arg, idx_ref[:, 0])
 
 
 @functools.partial(jax.jit, static_argnames=("tm", "tn"))
 def sad_argmin_pallas(
     d1, c1, u_min, u_max, v_min, v_max, t_u, t_v,
     d2, u2, v2, c2, valid2,
+    valid1=None,
     tm: int = 256, tn: int = 512,
 ):
-    """Drop-in for ops.matching.sad_argmin_pass (same semantics/returns)."""
+    """Drop-in for ops.matching.sad_argmin_pass (same semantics/returns).
+
+    valid1 (optional row mask) only sharpens tile-skip bounds; results for
+    invalid rows are unspecified either way."""
     N1 = d1.shape[0]
     N2 = d2.shape[0]
     tm = min(tm, N1)
     tn = min(tn, N2)
     assert N1 % tm == 0 and N2 % tn == 0, (N1, tm, N2, tn)
+    I = N1 // tm
+    J = N2 // tn
 
     m1 = jnp.stack([c1.astype(jnp.float32), u_min, u_max, v_min, v_max,
                     t_u, t_v, jnp.zeros_like(u_min)], axis=1)  # [N1, 8]
@@ -111,11 +128,29 @@ def sad_argmin_pallas(
                     jnp.zeros_like(u2, dtype=jnp.float32)], axis=0)  # [8, N2]
     d2t = d2.astype(jnp.float32).T  # [32, N2]
 
-    grid = (N1 // tm, N2 // tn)
+    # aggregate u-windows per tile for the skip test
+    if valid1 is None:
+        valid1 = jnp.ones((N1,), bool)
+    big = jnp.float32(3e38)
+    row_lo = jnp.min(jnp.where(valid1, u_min, big).reshape(I, tm),
+                     axis=1, keepdims=True)
+    row_hi = jnp.max(jnp.where(valid1, u_max, -big).reshape(I, tm),
+                     axis=1, keepdims=True)
+    u2f = u2.astype(jnp.float32)
+    col_lo = jnp.min(jnp.where(valid2, u2f, big).reshape(J, tn),
+                     axis=1, keepdims=True).T  # [1, J]
+    col_hi = jnp.max(jnp.where(valid2, u2f, -big).reshape(J, tn),
+                     axis=1, keepdims=True).T
+
+    grid = (I, J)
     cost, idx = pl.pallas_call(
         _sad_kernel,
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((tm, 32), lambda i, j: (i, 0)),
             pl.BlockSpec((tm, 8), lambda i, j: (i, 0)),
             pl.BlockSpec((32, tn), lambda i, j: (0, j)),
@@ -130,7 +165,7 @@ def sad_argmin_pallas(
             jax.ShapeDtypeStruct((N1, 1), jnp.int32),
         ],
         interpret=_interpret(),
-    )(d1.astype(jnp.float32), m1, d2t, m2)
+    )(row_lo, row_hi, col_lo, col_hi, d1.astype(jnp.float32), m1, d2t, m2)
     cost = cost[:, 0]
     idx = idx[:, 0]
     idx = jnp.where(cost < MIN_COST_INIT, idx, 0)

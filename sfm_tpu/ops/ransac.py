@@ -21,12 +21,18 @@ from .linalg import rank2_project, smallest_right_singular_vector
 
 def draw_samples(key, valid: jnp.ndarray, iters: int, k: int) -> jnp.ndarray:
     """[iters, k] distinct indices of valid entries (replaces the fixed-seed
-    Fisher-Yates prefix of viso.cpp:86-102 with a counter-based PRNG)."""
-    n = valid.shape[0]
-    r = jax.random.uniform(key, (iters, n))
-    r = jnp.where(valid[None, :], r, 2.0)  # invalid entries never win
-    _, idx = jax.lax.top_k(-r, k)
-    return idx.astype(jnp.int32)
+    Fisher-Yates prefix of viso.cpp:86-102 with a counter-based PRNG).
+
+    PRECONDITION: valid entries form a prefix (all match tables are
+    compacted). Uses the sorted-offsets trick — k uniforms in [0, count-k)
+    sorted and offset by their rank give k distinct indices — instead of a
+    top_k over [iters, n], whose sort lowering dominated the RANSAC cost."""
+    count = jnp.sum(valid.astype(jnp.int32))
+    span = jnp.maximum(count - k, 1).astype(jnp.float32)
+    u = jax.random.uniform(key, (iters, k)) * span
+    base = jnp.sort(u.astype(jnp.int32), axis=1)
+    idx = base + jnp.arange(k, dtype=jnp.int32)[None, :]
+    return jnp.clip(idx, 0, jnp.maximum(count - 1, 0))
 
 
 def fundamental_from_samples(u1p, v1p, u1c, v1c, sample_idx) -> jnp.ndarray:

@@ -6,8 +6,11 @@ relocateMinimum). Subpixel mode (refinement=2): 7x7 SAD cost surface +
 least-squares paraboloid fit (matcher.cpp:1379-1454 parabolicFitting);
 failures drop the match.
 
-Batched over all matches: descriptor sampling is a [M, 25|49, 16] gather,
-the paraboloid fit a constant 6x9 matmul.
+TPU formulation: instead of gathering a 16-byte descriptor at each of the
+25/49 candidate positions (25*16 scattered loads per match), each match
+gathers ONE gradient patch covering the whole search window per channel, and
+the cost surface is assembled from 16 static shifted slices of the patch —
+~3x fewer gathered elements and all remaining work is dense VPU math.
 """
 
 from __future__ import annotations
@@ -18,23 +21,44 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .descriptors import compute_small_descriptors
+from .descriptors import (SMALL_DU_OFFSETS, SMALL_DV_OFFSETS,
+                          compute_small_descriptors)
 
 MARGIN = 6
 
+# (channel, dx, dy) for all 16 small-descriptor samples; summation order is
+# irrelevant for the SAD (matcher.cpp:490-505)
+_SAMPLES = tuple((0, dx, dy) for dx, dy in SMALL_DU_OFFSETS) + tuple(
+    (1, dx, dy) for dx, dy in SMALL_DV_OFFSETS)
 
-def _grid_descs(du, dv, u0, v0, grid: int):
-    """Small descriptors at a grid x grid neighborhood of integer (u0, v0).
 
-    Returns [M, grid*grid, 16] float32 ordered dv-major (reference loop
-    order matcher.cpp:1474-1481: dv outer, du inner)."""
-    r = grid // 2
-    offs = [(dx, dy) for dy in range(-r, r + 1) for dx in range(-r, r + 1)]
-    descs = []
-    for dx, dy in offs:
-        d = compute_small_descriptors(du, dv, u0 + dx, v0 + dy)
-        descs.append(d.astype(jnp.float32))
-    return jnp.stack(descs, axis=1)
+def _patches(img, u0, v0, r: int):
+    """[M, 2r+1, 2r+1] float32 patches centered at integer (u0, v0)."""
+    H, W = img.shape
+    rng = jnp.arange(-r, r + 1, dtype=jnp.int32)
+    idx = ((v0[:, None, None] + rng[None, :, None]) * W
+           + (u0[:, None, None] + rng[None, None, :]))
+    idx = jnp.clip(idx, 0, H * W - 1)
+    return jnp.take(img.reshape(-1), idx, axis=0).astype(jnp.float32)
+
+
+def _cost_surface(du1, dv1, du2, dv2, u1, v1, u2, v2, g: int):
+    """[M, 2g+1, 2g+1] SAD cost of the small descriptor at (u1,v1) in image 1
+    vs positions (u2+du, v2+dv), |du|,|dv| <= g, in image 2."""
+    iu1 = u1.astype(jnp.int32)
+    iv1 = v1.astype(jnp.int32)
+    iu2 = u2.astype(jnp.int32)
+    iv2 = v2.astype(jnp.int32)
+    ref = compute_small_descriptors(du1, dv1, iu1, iv1).astype(jnp.float32)
+    r = g + 2  # descriptor samples reach +-2 around each candidate
+    P = [_patches(du2, iu2, iv2, r), _patches(dv2, iu2, iv2, r)]
+    M = ref.shape[0]
+    n = 2 * g + 1
+    cost = jnp.zeros((M, n, n), jnp.float32)
+    for k, (ch, dx, dy) in enumerate(_SAMPLES):
+        s = P[ch][:, r - g + dy: r + g + dy + 1, r - g + dx: r + g + dx + 1]
+        cost = cost + jnp.abs(s - ref[:, k][:, None, None])
+    return cost  # axis 1 = dv (row-major like the reference loops)
 
 
 @jax.jit
@@ -49,14 +73,9 @@ def relocate_minimum(
     m = jnp.float32(MARGIN)
     feasible = ((u2 - 2 >= m) & (u2 + 2 <= w2 - 1 - m) &
                 (v2 - 2 >= m) & (v2 + 2 <= h2 - 1 - m))
-    iu1 = u1.astype(jnp.int32)
-    iv1 = v1.astype(jnp.int32)
-    iu2 = u2.astype(jnp.int32)
-    iv2 = v2.astype(jnp.int32)
-    ref = compute_small_descriptors(du1, dv1, iu1, iv1).astype(jnp.float32)
-    cand = _grid_descs(du2, dv2, iu2, iv2, 5)          # [M, 25, 16]
-    cost = jnp.abs(cand - ref[:, None, :]).sum(-1)      # [M, 25]
-    best = jnp.argmin(cost, axis=1).astype(jnp.float32)  # first occurrence
+    cost = _cost_surface(du1, dv1, du2, dv2, u1, v1, u2, v2, 2)  # [M,5,5]
+    flat = cost.reshape(cost.shape[0], 25)
+    best = jnp.argmin(flat, axis=1).astype(jnp.float32)  # dv-major, first-min
     du_off = jnp.mod(best, 5.0) - 2.0
     dv_off = jnp.floor(best / 5.0) - 2.0
     return (jnp.where(feasible, u2 + du_off, u2),
@@ -89,14 +108,10 @@ def parabolic_fitting(
     m = jnp.float32(MARGIN)
     feasible = ((u2 - 3 >= m) & (u2 + 3 <= w2 - 1 - m) &
                 (v2 - 3 >= m) & (v2 + 3 <= h2 - 1 - m))
-    iu1 = u1.astype(jnp.int32)
-    iv1 = v1.astype(jnp.int32)
-    iu2 = u2.astype(jnp.int32)
-    iv2 = v2.astype(jnp.int32)
-    ref = compute_small_descriptors(du1, dv1, iu1, iv1).astype(jnp.float32)
-    cand = _grid_descs(du2, dv2, iu2, iv2, 7)           # [M, 49, 16]
-    cost = jnp.abs(cand - ref[:, None, :]).sum(-1)       # [M, 49]
-    best = jnp.argmin(cost, axis=1).astype(jnp.int32)
+    cost = _cost_surface(du1, dv1, du2, dv2, u1, v1, u2, v2, 3)  # [M,7,7]
+    M = cost.shape[0]
+    flat = cost.reshape(M, 49)
+    best = jnp.argmin(flat, axis=1).astype(jnp.int32)
     bu = best % 7
     bv = best // 7
     interior = (bu > 0) & (bu < 6) & (bv > 0) & (bv < 6)
@@ -107,7 +122,7 @@ def parabolic_fitting(
     safe_bu = jnp.clip(bu, 1, 5)
     safe_bv = jnp.clip(bv, 1, 5)
     patch_idx = (safe_bv[:, None] + ii[None, :]) * 7 + (safe_bu[:, None] + jj[None, :])
-    c = jnp.take_along_axis(cost, patch_idx, axis=1)     # [M, 9]
+    c = jnp.take_along_axis(flat, patch_idx, axis=1)     # [M, 9]
     b = c @ _FIT.T                                       # [M, 6]
     b0, b1, b2, b3, b4 = b[:, 0], b[:, 1], b[:, 2], b[:, 3], b[:, 4]
     divisor = b2 * b2 - 4.0 * b0 * b1

@@ -118,17 +118,23 @@ def gn_solve(tr, pts, obs, wmask, calib, iters: int, eps: float):
 
     Returns (tr, status [...]) where status follows the reference enum:
     CONVERGED only if the last solve's step was < eps everywhere
-    (viso_stereo.cpp:96-102 / 115-131 semantics)."""
+    (viso_stereo.cpp:96-102 / 115-131 semantics).
 
-    def one_iter(state, _):
-        tr, status = state
+    Implemented as a while_loop that exits as soon as every batch element has
+    converged or failed — typical GN needs ~5-10 of the allowed iterations,
+    and each sequential iteration costs fixed device latency, so early exit
+    is a large win over a fixed-length scan."""
+
+    def one_iter(state):
+        it, tr, status = state
         J, resid, _ = residuals_and_jacobian(tr, pts, obs, wmask, calib)
         Jf = J.reshape(J.shape[:-3] + (-1, 6))
         rf = resid.reshape(resid.shape[:-2] + (-1,))
         A = jnp.einsum("...ki,...kj->...ij", Jf, Jf)
         b = jnp.einsum("...ki,...k->...i", Jf, rf)
-        x = jnp.linalg.solve(A, b[..., None])[..., 0]
-        solve_ok = jnp.all(jnp.isfinite(x), axis=-1)
+        from .linalg import solve_spd_small
+
+        x, solve_ok = solve_spd_small(A, b)
         active = status == UPDATED
         step_small = jnp.all(jnp.abs(x) <= eps, axis=-1)
         new_tr = jnp.where((active & solve_ok)[..., None], tr + x, tr)
@@ -138,8 +144,21 @@ def gn_solve(tr, pts, obs, wmask, calib, iters: int, eps: float):
                       jnp.where(step_small, CONVERGED, UPDATED),
                       FAILED),
             status)
-        return (new_tr, new_status), None
+        return it + 1, new_tr, new_status
+
+    def cond(state):
+        it, _, status = state
+        return (it < iters) & jnp.any(status == UPDATED)
+
+    def body(state):
+        # unroll 3 GN iterations per while step: each sequential device step
+        # costs fixed latency and non-UPDATED elements are no-ops, so
+        # unrolling is semantically free and ~3x fewer round trips
+        state = one_iter(state)
+        state = one_iter(state)
+        return one_iter(state)
 
     status0 = jnp.zeros(tr.shape[:-1], jnp.int32)  # UPDATED
-    (tr, status), _ = jax.lax.scan(one_iter, (tr, status0), None, length=iters)
+    _, tr, status = jax.lax.while_loop(cond, body,
+                                       (jnp.int32(0), tr, status0))
     return tr, status

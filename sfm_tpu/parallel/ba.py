@@ -107,8 +107,10 @@ def _local_schur(cam_tr, points, obs_uv, obs_cam, obs_mask, point_valid,
     bc_obs = jnp.einsum("lkai,lka->lki", Jc, r)            # [Nl,K,6]
     bl = jnp.einsum("lkai,lka->li", Jx, r)                 # [Nl,3]
 
+    from ..ops.linalg import inv3
+
     V = V + damping * jnp.broadcast_to(jnp.eye(3, dtype=V.dtype), V.shape)
-    Vinv = jnp.linalg.inv(V)
+    Vinv = inv3(V)
 
     # camera-block scatter (U and bc)
     c = jnp.clip(obs_cam, 0, Nc - 1).reshape(-1)

@@ -1,0 +1,112 @@
+"""Tests for kitti metrics, checkpointing, viz, PLY, timer utilities."""
+
+import os
+
+import numpy as np
+import pytest
+
+from sfm_tpu.utils import kitti
+
+
+def circle_poses(n, radius=200.0, step=1.0):
+    """Camera driving a circle, cam->world."""
+    poses = []
+    for i in range(n):
+        th = step * i / radius
+        c, s = np.cos(th), np.sin(th)
+        T = np.eye(4)
+        T[:3, :3] = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+        T[:3, 3] = [radius * (1 - np.cos(th)), 0.0, radius * np.sin(th)]
+        poses.append(T)
+    return np.stack(poses)
+
+
+class TestKittiMetric:
+    def test_zero_error_for_identical(self):
+        poses = circle_poses(1500)
+        t, r, segs = kitti.kitti_errors(poses, poses)
+        assert len(segs) > 0
+        assert t < 1e-9 and r < 1e-9
+
+    def test_scale_error_detected(self):
+        poses = circle_poses(1500)
+        est = poses.copy()
+        est[:, :3, 3] *= 1.05  # 5% scale error
+        t, r, _ = kitti.kitti_errors(poses, est)
+        assert 4.0 < t < 6.0  # ~5% translation error
+        assert r < 0.01
+
+    def test_ate(self):
+        poses = circle_poses(100)
+        est = poses.copy()
+        est[:, 0, 3] += 2.0
+        assert abs(kitti.ate_rmse(poses, est) - 2.0) < 1e-9
+
+    def test_poses_from_motions(self):
+        tr = np.eye(4)
+        tr[2, 3] = -0.5  # forward 0.5 m/frame
+        poses = kitti.poses_from_motions([tr] * 4)
+        np.testing.assert_allclose(poses[-1][2, 3], 2.0, atol=1e-12)
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path, rng):
+        from sfm_tpu.config import (Bucketing, Calibration, EngineConfig,
+                                    MonoParams)
+        from sfm_tpu.models.sfm import StructureFromMotion
+        from sfm_tpu.utils.checkpoint import load_sfm, save_sfm
+
+        params = MonoParams(calib=Calibration(f=100.0, cu=80.0, cv=40.0),
+                            bucket=Bucketing(max_features=1000))
+        eng = EngineConfig(max_features_dense=128, max_features_sparse=64,
+                           max_matches=128, max_tracks=128)
+        sfm = StructureFromMotion(params, dims=(160, 80), engine=eng)
+        sfm.Tr_total = np.diag([1.0, 1, 1, 1])
+        sfm.Tr_total[2, 3] = 7.5
+        sfm.frame_idx = 42
+        sfm.reconstruction._points = [np.array([1.0, 2.0, 3.0])]
+        p = str(tmp_path / "ck.npz")
+        save_sfm(p, sfm)
+
+        sfm2 = StructureFromMotion(params, dims=(160, 80), engine=eng)
+        load_sfm(p, sfm2)
+        assert sfm2.frame_idx == 42
+        np.testing.assert_array_equal(sfm2.Tr_total, sfm.Tr_total)
+        np.testing.assert_array_equal(sfm2.get_points(), [[1.0, 2.0, 3.0]])
+
+
+class TestViz:
+    def test_point_cloud_png(self, tmp_path, rng):
+        from sfm_tpu.utils.viz import plot_point_cloud, plot_trajectories
+
+        pts = rng.randn(100, 3)
+        out = str(tmp_path / "cloud.png")
+        plot_point_cloud(pts, out, trajectory=rng.randn(10, 3))
+        assert os.path.getsize(out) > 1000
+        out2 = str(tmp_path / "traj.png")
+        plot_trajectories(out2, {"a": circle_poses(50), "b": circle_poses(50)})
+        assert os.path.getsize(out2) > 1000
+
+
+class TestPly:
+    def test_export(self, tmp_path):
+        from sfm_tpu.utils.ply import export_ply
+
+        p = str(tmp_path / "x.ply")
+        export_ply(np.array([[1.0, 2, 3], [4, 5, 6]]), p)
+        lines = open(p).read().splitlines()
+        assert lines[0] == "ply"
+        assert "element vertex 2" in lines[2]
+        assert lines[-1].startswith("4")
+
+
+class TestProfiling:
+    def test_device_info_and_cost(self):
+        import jax.numpy as jnp
+
+        from sfm_tpu.utils.profiling import compiled_cost, device_info
+
+        info = device_info()
+        assert len(info) >= 1 and info[0]["platform"] == "cpu"
+        cost = compiled_cost(lambda x: x @ x, jnp.ones((64, 64)))
+        assert isinstance(cost, dict)
