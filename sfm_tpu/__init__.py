@@ -8,6 +8,13 @@ import os
 
 import jax
 
+# f32-faithful matmuls: the TPU default truncates f32 matmul operands to
+# bf16, which corrupts geometry (pixel coordinates are not bf16-exact) and
+# stalls Gauss-Newton convergence. "highest" uses the 3-pass bf16 algorithm,
+# which is exact for f32 mantissas; the engine's only large matmuls are
+# one-hot permutations and bin sums, so the cost is negligible.
+jax.config.update("jax_default_matmul_precision", "highest")
+
 # Persistent compilation cache: frame programs are large and per-resolution;
 # caching makes repeat runs (and the bench harness) start in seconds.
 _cache_dir = os.environ.get("SFM_TPU_XLA_CACHE",

@@ -118,6 +118,10 @@ class EngineConfig:
     max_matches: int = 4096          # per frame pair
     max_tracks: int = 4096           # live reconstruction tracks
     max_points_per_frame: int = 1024 # finished 3D points emitted per frame
+    refine_window: int = 1024        # matches refined per frame (prefix of
+                                     # the compacted match table; the fast
+                                     # pipeline refines post-bucketing where
+                                     # counts are below this)
     # outlier removal implementation: "delaunay" (host callback, reference-
     # faithful, matcher.cpp:1207-1377) or "grid" (TPU-resident approximation)
     outlier_mode: str = "delaunay"

@@ -151,6 +151,34 @@ def _pass(src: FeatureSet, dst: FeatureSet, stat_bin, rt, stage, flow,
 
 
 def _gather_feats(fs: FeatureSet, idx) -> FeatureSet:
+    """Row-gather of the feature table by match indices.
+
+    On TPU, XLA lowers the [N, 32] descriptor gather to a serialized SMEM
+    loop; a one-hot matmul does the same permutation on the MXU in one pass
+    (values <= 8160 are exact in f32)."""
+    if jax.default_backend() == "tpu":
+        n = fs.u.shape[0]
+        onehot = (idx[:, None] == jax.lax.broadcasted_iota(
+            jnp.int32, (1, n), 1)).astype(jnp.float32)  # [M, N]
+        payload = jnp.concatenate([
+            fs.desc.astype(jnp.float32),
+            fs.u[:, None].astype(jnp.float32),
+            fs.v[:, None].astype(jnp.float32),
+            fs.val[:, None].astype(jnp.float32),
+            fs.cls[:, None].astype(jnp.float32),
+            fs.valid[:, None].astype(jnp.float32),
+        ], axis=1)  # [N, 37]
+        out = jnp.einsum("mn,nc->mc", onehot, payload,
+                         preferred_element_type=jnp.float32)
+        return FeatureSet(
+            u=out[:, 32].astype(jnp.int32),
+            v=out[:, 33].astype(jnp.int32),
+            val=out[:, 34].astype(jnp.int32),
+            cls=out[:, 35].astype(jnp.int32),
+            valid=out[:, 36] > 0.5,
+            count=fs.count,
+            desc=out[:, :32],  # f32; downstream casts are no-ops
+        )
     return FeatureSet(
         u=fs.u[idx], v=fs.v[idx], val=fs.val[idx], cls=fs.cls[idx],
         valid=fs.valid[idx], count=fs.count, desc=fs.desc[idx],

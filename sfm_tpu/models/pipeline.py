@@ -27,7 +27,7 @@ from ..ops.matching import (Matches, bucket_matches, compact_matches,
                             compute_prior_statistics)
 from ..ops.nms import FeatureSet
 from ..ops.outliers import grid_consistency_mask
-from ..ops.refine import relocate_minimum
+from ..ops.refine import relocate_minimum_prefix
 from .matcher import FrameFeatures, detect_features, match_flow, match_quad, match_stereo
 from .mono import MonoResult, mono_estimate_motion
 from .stereo import StereoResult, stereo_estimate_motion
@@ -77,17 +77,20 @@ def make_mono_frame_step(w: int, h: int, params: MonoParams,
             m1, method=0, n_bins_u=nbu, n_bins_v=nbv,
             binsize=p.match_binsize, match_radius=float(radius))
         m2 = match_flow(prev.dense, cur.dense, rt, use_rt=True, **kw)
-        if p.refinement > 0:
-            u1p, v1p = relocate_minimum(
-                cur.du_full, cur.dv_full, prev.du_full, prev.dv_full,
-                m2.u1c, m2.v1c, m2.u1p, m2.v1p,
-                jnp.float32(w), jnp.float32(h))
-            m2 = m2._replace(u1p=u1p, v1p=v1p)
         m2 = _grid_outliers(m2, 0, p.outlier_flow_tolerance,
                             p.outlier_disp_tolerance, engine.max_matches)
         m2 = bucket_matches(m2, k_bucket, params.bucket.max_features,
                             params.bucket.bucket_width,
                             params.bucket.bucket_height, engine.max_matches)
+        # fast path refines AFTER filtering/bucketing (fewer matches to
+        # patch-gather; the +-2 px moves are well inside the 5 px outlier
+        # tolerances, so filter results are equivalent in practice)
+        if p.refinement > 0:
+            u1p, v1p = relocate_minimum_prefix(
+                cur.du_full, cur.dv_full, prev.du_full, prev.dv_full,
+                m2.u1c, m2.v1c, m2.u1p, m2.v1p,
+                jnp.float32(w), jnp.float32(h), window=engine.refine_window)
+            m2 = m2._replace(u1p=u1p, v1p=v1p)
         res = mono_estimate_motion(
             m2, k_ransac, calib, jnp.float32(params.height),
             jnp.float32(params.pitch), jnp.float32(params.inlier_threshold),
@@ -140,23 +143,28 @@ def make_stereo_frame_step(w: int, h: int, params: StereoParams,
             binsize=p.match_binsize, match_radius=float(radius))
         m2 = match_quad(prev_l.dense, prev_r.dense, cur_l.dense, cur_r.dense,
                         rt, tr_prior, calib4, use_rt=True, use_tr=True, **kw)
-        if p.refinement > 0:
-            u1p, v1p = relocate_minimum(
-                cur_l.du_full, cur_l.dv_full, prev_l.du_full, prev_l.dv_full,
-                m2.u1c, m2.v1c, m2.u1p, m2.v1p, jnp.float32(w), jnp.float32(h))
-            u2c, v2c = relocate_minimum(
-                cur_l.du_full, cur_l.dv_full, cur_r.du_full, cur_r.dv_full,
-                m2.u1c, m2.v1c, m2.u2c, m2.v2c, jnp.float32(w), jnp.float32(h))
-            u2p, v2p = relocate_minimum(
-                cur_l.du_full, cur_l.dv_full, prev_r.du_full, prev_r.dv_full,
-                m2.u1c, m2.v1c, m2.u2p, m2.v2p, jnp.float32(w), jnp.float32(h))
-            m2 = m2._replace(u1p=u1p, v1p=v1p, u2c=u2c, v2c=v2c,
-                             u2p=u2p, v2p=v2p)
         m2 = _grid_outliers(m2, 2, p.outlier_flow_tolerance,
                             p.outlier_disp_tolerance, engine.max_matches)
         m2 = bucket_matches(m2, k_bucket, params.bucket.max_features,
                             params.bucket.bucket_width,
                             params.bucket.bucket_height, engine.max_matches)
+        # fast path refines AFTER filtering/bucketing (see mono note)
+        if p.refinement > 0:
+            rw = engine.refine_window
+            u1p, v1p = relocate_minimum_prefix(
+                cur_l.du_full, cur_l.dv_full, prev_l.du_full, prev_l.dv_full,
+                m2.u1c, m2.v1c, m2.u1p, m2.v1p, jnp.float32(w),
+                jnp.float32(h), window=rw)
+            u2c, v2c = relocate_minimum_prefix(
+                cur_l.du_full, cur_l.dv_full, cur_r.du_full, cur_r.dv_full,
+                m2.u1c, m2.v1c, m2.u2c, m2.v2c, jnp.float32(w),
+                jnp.float32(h), window=rw)
+            u2p, v2p = relocate_minimum_prefix(
+                cur_l.du_full, cur_l.dv_full, prev_r.du_full, prev_r.dv_full,
+                m2.u1c, m2.v1c, m2.u2p, m2.v2p, jnp.float32(w),
+                jnp.float32(h), window=rw)
+            m2 = m2._replace(u1p=u1p, v1p=v1p, u2c=u2c, v2c=v2c,
+                             u2p=u2p, v2p=v2p)
         res = stereo_estimate_motion(
             m2, k_ransac, calib4, jnp.float32(params.inlier_threshold),
             ransac_iters=params.ransac_iters)

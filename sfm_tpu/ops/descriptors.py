@@ -47,9 +47,48 @@ def _flat_gather(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, offsets):
     return jnp.take(flat, idx, axis=0)
 
 
+def row_gather_onehot(table: jnp.ndarray, idx: jnp.ndarray,
+                      block: int = 8192) -> jnp.ndarray:
+    """table[idx] as a blocked one-hot bf16 matmul (MXU).
+
+    XLA lowers row gathers to sequential SMEM loops on TPU. For tables whose
+    values are bf16-exact (u8 image samples), a one-hot matmul is exact and
+    runs at MXU speed. table [M, C], idx [N] -> [N, C] f32."""
+    M, C = table.shape
+    nb = -(-M // block)
+    tpad = jnp.pad(table.astype(jnp.bfloat16), ((0, nb * block - M), (0, 0)))
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, block), 1)
+
+    def body(acc, b):
+        tb = jax.lax.dynamic_slice(tpad, (b * block, 0), (block, C))
+        oh = (idx[:, None] - b * block == lanes).astype(jnp.bfloat16)
+        acc = acc + jnp.einsum("nm,mc->nc", oh, tb,
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.DEFAULT)
+        return acc, None
+
+    acc0 = jnp.zeros((idx.shape[0], C), jnp.float32)
+    out, _ = jax.lax.scan(body, acc0, jnp.arange(nb, dtype=jnp.int32))
+    return out
+
+
 @jax.jit
 def compute_descriptors(du: jnp.ndarray, dv: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
-    """32-byte descriptors for features at (u, v). Returns [N, 32] uint8."""
+    """32-byte descriptors for features at (u, v). Returns [N, 32] uint8
+    values (f32 container on TPU).
+
+    TPU path: pre-roll the 32 sample channels into a dense [H*W, 32] stack
+    (one vector op per channel) so the per-feature lookup becomes a single
+    row gather, executed as a one-hot matmul."""
+    if jax.default_backend() == "tpu":
+        H, W = du.shape
+        chans = []
+        for dx, dy in DESC_OFFSETS:
+            chans.append(jnp.roll(du, (-dy, -dx), (0, 1)))
+            chans.append(jnp.roll(dv, (-dy, -dx), (0, 1)))
+        D = jnp.stack(chans, axis=-1).reshape(H * W, 32)
+        idx = jnp.clip(v * W + u, 0, H * W - 1)
+        return row_gather_onehot(D, idx)
     a = _flat_gather(du, u, v, DESC_OFFSETS)  # [N, 16]
     b = _flat_gather(dv, u, v, DESC_OFFSETS)  # [N, 16]
     return jnp.stack([a, b], axis=-1).reshape(a.shape[0], 32)

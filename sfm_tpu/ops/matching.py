@@ -61,25 +61,75 @@ def empty_matches(cap: int) -> Matches:
                    jnp.zeros((cap,), bool), jnp.zeros((), jnp.int32))
 
 
-def compact_matches(m: Matches, cap: int) -> Matches:
-    """Pack valid entries to the front (deterministic, index order)."""
-    ok = m.valid
-    pos = jnp.cumsum(ok.astype(jnp.int32)) - 1
-    dest = jnp.where(ok & (pos < cap), pos, cap)
-    count = jnp.minimum(jnp.sum(ok.astype(jnp.int32)), cap)
+def cumsum_matmul(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive prefix sum of a 1-D int/float array via two-level
+    triangular matmuls (XLA lowers 1-D cumsum to a sequential loop on TPU;
+    the MXU does it in one pass — exact in f32 for sums < 2^24)."""
+    n = x.shape[0]
+    B = 128
+    rows = -(-n // B)
+    xp = jnp.pad(x.astype(jnp.float32), (0, rows * B - n)).reshape(rows, B)
+    tri = (jax.lax.broadcasted_iota(jnp.int32, (B, B), 0)
+           <= jax.lax.broadcasted_iota(jnp.int32, (B, B), 1)).astype(jnp.float32)
+    within = jnp.einsum("rb,bc->rc", xp, tri,
+                        preferred_element_type=jnp.float32)  # row-wise cumsum
+    row_tot = within[:, -1]
+    tri_r = (jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 0)
+             < jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1)).astype(jnp.float32)
+    offsets = jnp.einsum("r,rc->c", row_tot, tri_r,
+                         preferred_element_type=jnp.float32)  # exclusive
+    out = (within + offsets[:, None]).reshape(-1)[:n]
+    return out.astype(x.dtype if jnp.issubdtype(x.dtype, jnp.integer) else x.dtype)
 
-    def _sc(x, fill):
-        out = jnp.full((cap + 1,), fill, x.dtype)
-        return out.at[dest].set(x)[:cap]
 
+def compaction_gather_indices(ok: jnp.ndarray, cap: int):
+    """(src [cap], count): src[s] = index of the s-th valid entry.
+
+    Gather-side stream compaction: scatter-based packing lowers to a
+    sequential SMEM loop on TPU (the dominant cost in early profiles);
+    searchsorted over the cumulative count is dense VPU work."""
+    n = ok.shape[0]
+    if jax.default_backend() == "tpu":
+        c = cumsum_matmul(ok.astype(jnp.int32))
+    else:
+        c = jnp.cumsum(ok.astype(jnp.int32))
+    count = jnp.minimum(c[n - 1], cap)
     slots = jnp.arange(cap, dtype=jnp.int32)
-    return Matches(
-        _sc(m.u1p, -1.0), _sc(m.v1p, -1.0), _sc(m.i1p, -1),
-        _sc(m.u2p, -1.0), _sc(m.v2p, -1.0), _sc(m.i2p, -1),
-        _sc(m.u1c, -1.0), _sc(m.v1c, -1.0), _sc(m.i1c, -1),
-        _sc(m.u2c, -1.0), _sc(m.v2c, -1.0), _sc(m.i2c, -1),
-        valid=slots < count, count=count,
-    )
+    # compare_all = one [cap, n] VPU sweep; for big n the quadratic sweep
+    # outgrows the unrolled binary search (log n small gathers)
+    method = "compare_all" if n <= 8192 else "scan_unrolled"
+    src = jnp.searchsorted(c, slots + 1, method=method)
+    return jnp.clip(src, 0, n - 1).astype(jnp.int32), count
+
+
+def compact_matches(m: Matches, cap: int) -> Matches:
+    """Pack valid entries to the front (deterministic, index order).
+
+    On TPU the 12 per-field [cap] gathers are replaced by one one-hot
+    permutation matmul on the MXU (1-D gathers serialize on TPU; exact,
+    since each output row receives exactly one payload row)."""
+    src, count = compaction_gather_indices(m.valid, cap)
+    slots = jnp.arange(cap, dtype=jnp.int32)
+    live = slots < count
+
+    fields = [m.u1p, m.v1p, m.i1p, m.u2p, m.v2p, m.i2p,
+              m.u1c, m.v1c, m.i1c, m.u2c, m.v2c, m.i2c]
+    fills = [-1.0, -1.0, -1, -1.0, -1.0, -1,
+             -1.0, -1.0, -1, -1.0, -1.0, -1]
+
+    if jax.default_backend() == "tpu":
+        n = m.valid.shape[0]
+        payload = jnp.stack([f.astype(jnp.float32) for f in fields], 1)
+        onehot = (src[:, None] == jax.lax.broadcasted_iota(
+            jnp.int32, (1, n), 1)).astype(jnp.float32)
+        out = jnp.einsum("cn,nf->cf", onehot, payload,
+                         preferred_element_type=jnp.float32)
+        packed = [jnp.where(live, out[:, i].astype(f.dtype), fill)
+                  for i, (f, fill) in enumerate(zip(fields, fills))]
+    else:
+        packed = [jnp.where(live, f[src], fill)
+                  for f, fill in zip(fields, fills)]
+    return Matches(*packed, valid=live, count=count)
 
 
 # ---------------------------------------------------------------------------

@@ -157,21 +157,22 @@ def nms_features(
     cls_f = _order(cand_cls)
     ok_f = _order(cand_ok)
 
-    pos = jnp.cumsum(ok_f.astype(jnp.int32)) - 1
-    dest = jnp.where(ok_f & (pos < cap), pos, cap)
-    count = jnp.minimum(jnp.sum(ok_f.astype(jnp.int32)), cap)
+    # gather-side compaction (scatter packing serializes on TPU)
+    from .matching import compaction_gather_indices
 
-    def _scatter(x, fill=0):
-        out = jnp.full((cap + 1,), fill, x.dtype)
-        return out.at[dest].set(x)[:cap]
-
+    src, count = compaction_gather_indices(ok_f, cap)
     slots = jnp.arange(cap, dtype=jnp.int32)
+    live = slots < count
+
+    def _take(x):
+        return jnp.where(live, x[src], 0)
+
     return FeatureSet(
-        u=_scatter(u_f),
-        v=_scatter(v_f),
-        val=_scatter(val_f),
-        cls=_scatter(cls_f),
-        valid=slots < count,
+        u=_take(u_f),
+        v=_take(v_f),
+        val=_take(val_f),
+        cls=_take(cls_f),
+        valid=live,
         count=count,
         desc=jnp.zeros((cap, 32), jnp.uint8),
     )

@@ -113,15 +113,14 @@ def grid_consistency_mask(
     statsz = jnp.where(valid[:, None], stats, 0.0)
 
     bid = jnp.where(valid, bv * grid_w + bu, n_bins)
+    # one membership matrix serves both the scatter (bin sums) and the
+    # gather (per-match bin lookup) as MXU matmuls — both TPU scatter-add
+    # and 1-D gathers lower to sequential loops otherwise
+    one_hot = (bid[:, None] == jax.lax.broadcasted_iota(
+        jnp.int32, (1, n_bins), 1)).astype(jnp.float32)  # [N, n_bins]
 
     def neighborhood_mean(weight):
-        """weight [N]: per-match inclusion; returns per-match 3x3-bin mean.
-
-        Bin sums via one-hot matmul (MXU) — TPU scatter-add with duplicate
-        indices lowers to a sequential loop (~4 us/row), which made this the
-        pipeline bottleneck; the matmul formulation is ~1000x faster."""
-        one_hot = (bid[:, None] == jax.lax.broadcasted_iota(
-            jnp.int32, (1, n_bins), 1)).astype(jnp.float32)  # [N, n_bins]
+        """weight [N]: per-match inclusion; returns per-match 3x3-bin mean."""
         payload = jnp.concatenate(
             [statsz * weight[:, None], weight[:, None]], axis=1)  # [N, 4]
         sums = jnp.einsum("nb,nc->bc", one_hot, payload,
@@ -149,7 +148,11 @@ def grid_consistency_mask(
         nsum = box(ssum2)
         ncnt = box(scnt2)
         mean = nsum / jnp.maximum(ncnt, 1.0)[..., None]
-        return mean[bv, bu], ncnt[bv, bu]
+        table = jnp.concatenate([mean.reshape(n_bins, 3),
+                                 ncnt.reshape(n_bins, 1)], axis=1)
+        per_match = jnp.einsum("nb,bc->nc", one_hot, table,
+                               preferred_element_type=jnp.float32)
+        return per_match[:, :3], per_match[:, 3]
 
     ones = valid.astype(jnp.float32)
     mean1, _ = neighborhood_mean(ones)

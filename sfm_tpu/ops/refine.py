@@ -82,6 +82,20 @@ def relocate_minimum(
             jnp.where(feasible, v2 + dv_off, v2))
 
 
+def relocate_minimum_prefix(du1, dv1, du2, dv2, u1, v1, u2, v2, w2, h2,
+                            window: int | None = None):
+    """relocate_minimum on the first `window` (compacted) matches only; the
+    tail passes through unrefined. The patch gathers are the most
+    gather-bound op in the frame, and valid matches live in a prefix."""
+    n = u1.shape[0]
+    if window is None or window >= n:
+        return relocate_minimum(du1, dv1, du2, dv2, u1, v1, u2, v2, w2, h2)
+    un, vn = relocate_minimum(du1, dv1, du2, dv2, u1[:window], v1[:window],
+                              u2[:window], v2[:window], w2, h2)
+    return (jnp.concatenate([un, u2[window:]]),
+            jnp.concatenate([vn, v2[window:]]))
+
+
 def _fit_matrix() -> np.ndarray:
     """(A^T A)^-1 A^T for the 9-point paraboloid LS fit (matcher.cpp:1508-1519)."""
     rows = []
