@@ -33,8 +33,14 @@ _SAMPLES = tuple((0, dx, dy) for dx, dy in SMALL_DU_OFFSETS) + tuple(
 
 
 def _patches(img, u0, v0, r: int):
-    """[M, 2r+1, 2r+1] float32 patches centered at integer (u0, v0)."""
+    """[M, 2r+1, 2r+1] float32 patches centered at integer (u0, v0).
+
+    (A one-hot matmul over an im2col patch table was tried and is SLOWER
+    than the plain gather here: the [H*W, k*k] table costs ~150 MB of HBM
+    traffic per channel. A Pallas VMEM-resident kernel is the planned fix —
+    see ROADMAP.md.)"""
     H, W = img.shape
+    k = 2 * r + 1
     rng = jnp.arange(-r, r + 1, dtype=jnp.int32)
     idx = ((v0[:, None, None] + rng[None, :, None]) * W
            + (u0[:, None, None] + rng[None, None, :]))
