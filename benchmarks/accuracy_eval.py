@@ -113,9 +113,17 @@ def eval_mono(left, gt):
     t_err, r_err, _ = kitti_errors(gt, est, step=3, lengths=(5, 10, 20, 30))
     ate = ate_rmse(gt, est)
     tz = [m[2, 3] for m in motions]
+    # standard mono practice: also report after global scale alignment
+    from sfm_tpu.utils.kitti import scale_align
+
+    est_s = scale_align(gt, est)
+    t_err_s, r_err_s, _ = kitti_errors(gt, est_s, step=3,
+                                       lengths=(5, 10, 20, 30))
+    ate_s = ate_rmse(gt, est_s)
     print(f"mono: fails={n_fail}/{len(left)-1} "
           f"KITTI t_err={t_err:.2f}% r_err={r_err:.4f} deg/m ATE={ate:.3f} m "
-          f"median t_z={np.median(tz):.3f} (gt -0.8)")
+          f"median t_z={np.median(tz):.3f} (gt -0.8) | scale-aligned: "
+          f"t_err={t_err_s:.2f}% ATE={ate_s:.3f} m")
     return t_err, ate
 
 

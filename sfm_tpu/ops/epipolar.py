@@ -38,7 +38,9 @@ def triangulate_linear(P1: jnp.ndarray, P2: jnp.ndarray,
     b0, b1 = rows(P2, u2, v2)
     a0, a1, b0, b1 = jnp.broadcast_arrays(a0, a1, b0, b1)
     J = jnp.stack([a0, a1, b0, b1], axis=-2)  # [..., N, 4, 4]
-    return smallest_right_singular_vector(J)
+    # extra sweeps: the triangulated depths feed the ground-plane density
+    # estimate, where f32 eigenvector noise directly biases the mono scale
+    return smallest_right_singular_vector(J, sweeps=16)
 
 
 def e_to_rt(E: jnp.ndarray, K: jnp.ndarray, u1p, v1p, u1c, v1c, valid):

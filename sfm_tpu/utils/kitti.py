@@ -106,6 +106,20 @@ def ate_rmse(poses_gt: np.ndarray, poses_est: np.ndarray) -> float:
     return float(np.sqrt((d ** 2).sum(1).mean()))
 
 
+def scale_align(poses_gt: np.ndarray, poses_est: np.ndarray) -> np.ndarray:
+    """Apply the single least-squares scale factor to the estimated
+    trajectory (standard practice for monocular evaluation, where global
+    scale is unobservable up to the ground-plane prior)."""
+    n = min(len(poses_gt), len(poses_est))
+    g = poses_gt[:n, :3, 3]
+    e = poses_est[:n, :3, 3]
+    denom = float((e * e).sum())
+    s = float((g * e).sum()) / denom if denom > 0 else 1.0
+    out = poses_est.copy()
+    out[:, :3, 3] *= s
+    return out
+
+
 def poses_from_motions(motions: list[np.ndarray]) -> np.ndarray:
     """Integrate per-frame Tr_delta (prev->cur) into cam->world poses,
     pose_k = pose_{k-1} @ inv(Tr_delta_k) (sfm.hh:57-58 convention)."""
