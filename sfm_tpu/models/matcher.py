@@ -123,10 +123,25 @@ def _bounds(u_src, v_src, stat_bin, rt: Optional[RangeTable], stage: int,
         u_min, u_max = u - radius, u + radius
         v_min, v_max = v - radius, v + radius
     else:
-        u_min = u + rt.u_min[stat_bin, stage]
-        u_max = u + rt.u_max[stat_bin, stage]
-        v_min = v + rt.v_min[stat_bin, stage]
-        v_max = v + rt.v_max[stat_bin, stage]
+        if jax.default_backend() == "tpu":
+            # [N] gathers from the range table serialize on TPU; fetch all
+            # four bounds with one one-hot matmul over the (small) bin table
+            nb = rt.u_min.shape[0]
+            oh = (stat_bin[:, None] == jax.lax.broadcasted_iota(
+                jnp.int32, (1, nb), 1)).astype(jnp.float32)
+            tab = jnp.stack([rt.u_min[:, stage], rt.u_max[:, stage],
+                             rt.v_min[:, stage], rt.v_max[:, stage]], axis=1)
+            out = jnp.einsum("nb,bc->nc", oh, tab,
+                             preferred_element_type=jnp.float32)
+            u_min = u + out[:, 0]
+            u_max = u + out[:, 1]
+            v_min = v + out[:, 2]
+            v_max = v + out[:, 3]
+        else:
+            u_min = u + rt.u_min[stat_bin, stage]
+            u_max = u + rt.u_max[stat_bin, stage]
+            v_min = v + rt.v_min[stat_bin, stage]
+            v_max = v + rt.v_max[stat_bin, stage]
     if not flow:
         v_min, v_max = v - disp_tol, v + disp_tol
     return u_min, u_max, v_min, v_max

@@ -134,7 +134,16 @@ def nms_features(
         v = start + by * bs + dy
         u = start + bx * bs + dx
         wext = _window_extreme(img, n, w, h, margin, mode)
-        at_cand = wext[v, u]
+        # candidate positions lie inside their own block, so the per-block
+        # lookup is a masked in-block reduction (an [nby, nbx] fancy-index
+        # gather serializes on TPU and staged the whole filter image)
+        wreg = jax.lax.dynamic_slice(
+            wext, (start, start), (nby * bs, nbx * bs)
+        ).reshape(nby, bs, nbx, bs)
+        dyi = jax.lax.broadcasted_iota(jnp.int32, (1, bs, 1, 1), 1)
+        dxi = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, bs), 3)
+        sel = ((dyi == dy[:, None, :, None]) & (dxi == dx[:, None, :, None]))
+        at_cand = jnp.sum(jnp.where(sel, wreg, 0), axis=(1, 3))
         if mode == "min":
             ok = (at_cand >= val) & (val <= -tau)
         else:
