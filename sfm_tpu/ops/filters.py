@@ -120,13 +120,14 @@ def checkerboard5x5(img: jnp.ndarray) -> jnp.ndarray:
 
 @functools.partial(jax.jit, static_argnames=("out_h", "out_w"))
 def half_resolution(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
-    """2x2 box downsample with floor division (matcher.cpp:636-647)."""
-    x = img.astype(jnp.int32)
-    a = x[0 : 2 * out_h : 2, 0 : 2 * out_w : 2]
-    b = x[0 : 2 * out_h : 2, 1 : 2 * out_w : 2]
-    c = x[1 : 2 * out_h : 2, 0 : 2 * out_w : 2]
-    d = x[1 : 2 * out_h : 2, 1 : 2 * out_w : 2]
-    return ((a + b + c + d) // 4).astype(jnp.uint8)
+    """2x2 box downsample with floor division (matcher.cpp:636-647).
+
+    reduce_window is the native TPU pooling path; lane-strided slices lower
+    to serialized gathers plus full-image staging copies (was ~40% of the
+    fused stereo frame step)."""
+    x = img[: 2 * out_h, : 2 * out_w].astype(jnp.int32)
+    s = jax.lax.reduce_window(x, 0, jax.lax.add, (2, 2), (2, 2), "VALID")
+    return (s // 4).astype(jnp.uint8)
 
 
 @jax.jit

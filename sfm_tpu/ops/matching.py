@@ -405,9 +405,14 @@ def bucket_matches(
     # sort by (bucket, random) -> random rank within each bucket
     order = jnp.lexsort((r, bid))
     bid_s = bid[order]
-    first = jnp.concatenate([jnp.array([True]), bid_s[1:] != bid_s[:-1]])
-    seg_start = jnp.maximum.accumulate(
-        jnp.where(first, jnp.arange(n, dtype=jnp.int32), 0))
+    # rank within each equal-bid run = row index minus the run's start; the
+    # start index equals the count of rows in strictly smaller runs. The
+    # dense [n, n] compare+reduce fuses on the VPU (maximum.accumulate
+    # lowers to a serialized n-iteration while loop on TPU; was ~30% of the
+    # fused stereo frame step)
+    seg_start = jnp.sum(
+        (bid_s[None, :] < bid_s[:, None]).astype(jnp.float32), axis=1
+    ).astype(jnp.int32)
     rank = jnp.arange(n, dtype=jnp.int32) - seg_start
     keep_sorted = (rank < max_features) & m.valid[order]
 
