@@ -27,7 +27,7 @@ from ..ops.matching import (Matches, bucket_matches, compact_matches,
                             compute_prior_statistics)
 from ..ops.nms import FeatureSet
 from ..ops.outliers import grid_consistency_mask
-from ..ops.refine import relocate_minimum_prefix
+from ..ops.refine import relocate_minimum_prefix, small_ref_descriptors
 from .matcher import FrameFeatures, detect_features, match_flow, match_quad, match_stereo
 from .mono import MonoResult, mono_estimate_motion
 from .stereo import StereoResult, stereo_estimate_motion
@@ -52,6 +52,11 @@ def make_mono_frame_step(w: int, h: int, params: MonoParams,
     The caller threads `cur` back in as `prev` for the next frame (the
     matcher ring buffer, matcher.cpp:108-155, becomes explicit state).
     """
+    return jax.jit(_make_mono_step_core(w, h, params, engine))
+
+
+def _make_mono_step_core(w: int, h: int, params: MonoParams,
+                         engine: EngineConfig):
     p = params.match
     radius = p.match_radius / 2 if p.half_resolution else p.match_radius
     nbu = -(-w // p.match_binsize)
@@ -98,7 +103,73 @@ def make_mono_frame_step(w: int, h: int, params: MonoParams,
             ransac_iters=params.ransac_iters)
         return cur, m2, res
 
-    return jax.jit(step)
+    return step
+
+
+def make_mono_sequence_fn(w: int, h: int, params: MonoParams,
+                          engine: EngineConfig):
+    """One-dispatch N-frame mono pipeline (lax.scan over the frame axis).
+
+    (prev: FrameFeatures, imgs [N,h,w] u8, key) ->
+        (last: FrameFeatures, trs [N,6], success [N], n_matches [N],
+         n_inliers [N])
+
+    Per-frame dispatch costs ~ms of host/tunnel latency each; scanning runs
+    the whole (inherently sequential) frame chain on-device.
+    """
+    step = _make_mono_step_core(w, h, params, engine)
+
+    def seq(prev: FrameFeatures, imgs, key):
+        def body(carry, xs):
+            i, img = xs
+            cur, _, res = step(carry, img, jax.random.fold_in(key, i))
+            return cur, (res.tr, res.success, res.n_matches, res.n_inliers)
+
+        n = imgs.shape[0]
+        last, ys = jax.lax.scan(
+            body, prev, (jnp.arange(n, dtype=jnp.uint32), imgs))
+        return (last,) + ys
+
+    return jax.jit(seq)
+
+
+def make_stereo_sequence_fn(w: int, h: int, params: StereoParams,
+                            engine: EngineConfig):
+    """One-dispatch N-frame stereo pipeline (lax.scan over the frame axis).
+
+    (prev_l, prev_r: FrameFeatures, tr_prior0 [4,4], imgs_l [N,h,w],
+     imgs_r [N,h,w], key) ->
+        (last_l, last_r, tr_prior [4,4], trs [N,6], success [N],
+         n_matches [N], n_inliers [N])
+
+    Threads the previous frame's estimated motion as the quad-matching
+    prediction prior, like the reference keeps Tr_delta across process()
+    calls (viso_stereo.cpp:33-40; kept unchanged on failure, viso.h:83-86).
+    The prior is part of the carry interface so callers can chain chunks.
+    """
+    step = _make_stereo_step_core(w, h, params, engine)
+    from ..ops.se3 import transformation_vector_to_matrix
+
+    def seq(prev_l: FrameFeatures, prev_r: FrameFeatures, tr_prior0,
+            imgs_l, imgs_r, key):
+        def body(carry, xs):
+            pl_, pr_, tr_prior = carry
+            i, il, ir = xs
+            cl, cr, _, res = step(pl_, pr_, il, ir, tr_prior,
+                                  jax.random.fold_in(key, i))
+            tr_next = jnp.where(res.success,
+                                transformation_vector_to_matrix(res.tr),
+                                tr_prior)
+            return (cl, cr, tr_next), (res.tr, res.success, res.n_matches,
+                                       res.n_inliers)
+
+        n = imgs_l.shape[0]
+        (last_l, last_r, trp), ys = jax.lax.scan(
+            body, (prev_l, prev_r, tr_prior0),
+            (jnp.arange(n, dtype=jnp.uint32), imgs_l, imgs_r))
+        return (last_l, last_r, trp) + ys
+
+    return jax.jit(seq)
 
 
 def make_stereo_frame_step(w: int, h: int, params: StereoParams,
@@ -109,6 +180,11 @@ def make_stereo_frame_step(w: int, h: int, params: StereoParams,
          (traced bool folded via where), key) ->
             (cur_l, cur_r, matches, result: StereoResult)
     """
+    return jax.jit(_make_stereo_step_core(w, h, params, engine))
+
+
+def _make_stereo_step_core(w: int, h: int, params: StereoParams,
+                           engine: EngineConfig):
     p = params.match
     radius = p.match_radius / 2 if p.half_resolution else p.match_radius
     nbu = -(-w // p.match_binsize)
@@ -150,19 +226,23 @@ def make_stereo_frame_step(w: int, h: int, params: StereoParams,
                             params.bucket.bucket_height, engine.max_matches)
         # fast path refines AFTER filtering/bucketing (see mono note)
         if p.refinement > 0:
-            rw = engine.refine_window
+            rw = min(engine.refine_window, engine.max_matches)
+            # all three relocations share the same reference descriptor
+            # (cur-left at u1c/v1c); extract it once
+            ref = small_ref_descriptors(cur_l.du_full, cur_l.dv_full,
+                                        m2.u1c[:rw], m2.v1c[:rw])
             u1p, v1p = relocate_minimum_prefix(
                 cur_l.du_full, cur_l.dv_full, prev_l.du_full, prev_l.dv_full,
                 m2.u1c, m2.v1c, m2.u1p, m2.v1p, jnp.float32(w),
-                jnp.float32(h), window=rw)
+                jnp.float32(h), window=rw, ref=ref)
             u2c, v2c = relocate_minimum_prefix(
                 cur_l.du_full, cur_l.dv_full, cur_r.du_full, cur_r.dv_full,
                 m2.u1c, m2.v1c, m2.u2c, m2.v2c, jnp.float32(w),
-                jnp.float32(h), window=rw)
+                jnp.float32(h), window=rw, ref=ref)
             u2p, v2p = relocate_minimum_prefix(
                 cur_l.du_full, cur_l.dv_full, prev_r.du_full, prev_r.dv_full,
                 m2.u1c, m2.v1c, m2.u2p, m2.v2p, jnp.float32(w),
-                jnp.float32(h), window=rw)
+                jnp.float32(h), window=rw, ref=ref)
             m2 = m2._replace(u1p=u1p, v1p=v1p, u2c=u2c, v2c=v2c,
                              u2p=u2p, v2p=v2p)
         res = stereo_estimate_motion(
@@ -170,4 +250,4 @@ def make_stereo_frame_step(w: int, h: int, params: StereoParams,
             ransac_iters=params.ransac_iters)
         return cur_l, cur_r, m2, res
 
-    return jax.jit(step)
+    return step

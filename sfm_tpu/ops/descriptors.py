@@ -48,28 +48,33 @@ def _flat_gather(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, offsets):
 
 
 def row_gather_onehot(table: jnp.ndarray, idx: jnp.ndarray,
-                      block: int = 8192) -> jnp.ndarray:
-    """table[idx] as a blocked one-hot bf16 matmul (MXU).
+                      block: int = 128) -> jnp.ndarray:
+    """table[idx] as a two-level one-hot selection (MXU + VPU).
 
     XLA lowers row gathers to sequential SMEM loops on TPU. For tables whose
-    values are bf16-exact (u8 image samples), a one-hot matmul is exact and
-    runs at MXU speed. table [M, C], idx [N] -> [N, C] f32."""
+    values are bf16-exact (u8 image samples), one-hot selection is exact and
+    runs at MXU speed. Factorizing idx = q*block + r turns the selection into
+    ONE well-shaped [N, M/block] x [M/block, block*C] matmul (row-block
+    select) plus a cheap within-block masked reduce — versus a scan of M/8192
+    giant [N, 8192] one-hot constructions, whose VPU one-hot building
+    dominated. table [M, C], idx [N] -> [N, C] f32."""
     M, C = table.shape
-    nb = -(-M // block)
-    tpad = jnp.pad(table.astype(jnp.bfloat16), ((0, nb * block - M), (0, 0)))
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, block), 1)
-
-    def body(acc, b):
-        tb = jax.lax.dynamic_slice(tpad, (b * block, 0), (block, C))
-        oh = (idx[:, None] - b * block == lanes).astype(jnp.bfloat16)
-        acc = acc + jnp.einsum("nm,mc->nc", oh, tb,
-                               preferred_element_type=jnp.float32,
-                               precision=jax.lax.Precision.DEFAULT)
-        return acc, None
-
-    acc0 = jnp.zeros((idx.shape[0], C), jnp.float32)
-    out, _ = jax.lax.scan(body, acc0, jnp.arange(nb, dtype=jnp.int32))
-    return out
+    N = idx.shape[0]
+    nq = -(-M // block)
+    tpad = jnp.pad(table.astype(jnp.bfloat16),
+                   ((0, nq * block - M), (0, 0))).reshape(nq, block * C)
+    idx = jnp.clip(idx, 0, M - 1)
+    q = idx // block
+    r = idx - q * block
+    ohq = (q[:, None] == jax.lax.broadcasted_iota(
+        jnp.int32, (1, nq), 1)).astype(jnp.bfloat16)          # [N, nq]
+    t1 = jnp.einsum("nq,qk->nk", ohq, tpad,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT)       # [N, block*C]
+    t1 = t1.reshape(N, block, C)
+    ohr = (r[:, None] == jax.lax.broadcasted_iota(
+        jnp.int32, (1, block), 1)).astype(jnp.float32)         # [N, block]
+    return jnp.einsum("nbc,nb->nc", t1, ohr)
 
 
 @jax.jit

@@ -173,6 +173,106 @@ def sad_argmin_pallas(
 
 
 # ---------------------------------------------------------------------------
+# Patch extraction (match refinement windows)
+# ---------------------------------------------------------------------------
+
+PATCH = 16  # fixed window size; covers the 9x9 (pixel) / 13x13 (subpixel) need
+
+
+def _patch_kernel(u_ref, v_ref, du_ref, dv_ref, pdu_ref, pdv_ref, *,
+                  unroll: int):
+    """Per grid step: extract PATCH x PATCH windows of du/dv for a block of
+    matches. Row window via dynamic sublane slice; column window via a
+    128-aligned lane slice followed by a one-hot lane-extraction matmul
+    (XLA lowers per-match patch gathers to ~8 ns/element scalar loops)."""
+    B = pdu_ref.shape[0]
+    i = pl.program_id(0)
+    # vector loads need 8-aligned sublane and 128-aligned lane starts; the
+    # residual offsets are folded into the two one-hot selection matmuls.
+    # bf16 selections/operands are exact for u8 pixel values; accumulation
+    # is f32 and each output receives exactly one input
+    rr = jax.lax.broadcasted_iota(jnp.int32, (PATCH, 24), 0)
+    rs = jax.lax.broadcasted_iota(jnp.int32, (PATCH, 24), 1)
+    cw = jax.lax.broadcasted_iota(jnp.int32, (256, PATCH), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (256, PATCH), 1)
+
+    def one(j):
+        u0 = u_ref[i * B + j]
+        v0 = v_ref[i * B + j]
+        ubase = pl.multiple_of((u0 // 128) * 128, 128)
+        vbase = pl.multiple_of((v0 // 8) * 8, 8)
+        win_du = du_ref[pl.ds(vbase, 24), pl.ds(ubase, 256)]
+        win_dv = dv_ref[pl.ds(vbase, 24), pl.ds(ubase, 256)]
+        rsel = (rs == rr + (v0 - vbase)).astype(jnp.bfloat16)  # [PATCH, 24]
+        csel = (cw == cc + (u0 - ubase)).astype(jnp.bfloat16)  # [256, PATCH]
+        # precision pinned to DEFAULT: the session-wide "highest" default
+        # would request an fp32 contraction on bf16 operands, which Mosaic
+        # rejects (and one-hot selection is exact in bf16 anyway)
+        dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.DEFAULT)
+        a = dot(rsel, win_du).astype(jnp.bfloat16)
+        b = dot(rsel, win_dv).astype(jnp.bfloat16)
+        pdu_ref[j] = dot(a, csel)
+        pdv_ref[j] = dot(b, csel)
+
+    def body(jj, _):
+        # unrolled so consecutive matches' loads/matmuls pipeline on the MXU
+        for k in range(unroll):
+            one(jj * unroll + k)
+        return ()
+
+    jax.lax.fori_loop(0, B // unroll, body, ())
+
+
+@functools.partial(jax.jit, static_argnames=("block", "unroll"))
+def extract_patches_pallas(du, dv, u0, v0, block: int = 1024,
+                           unroll: int = 8):
+    """[M, PATCH, PATCH] f32 windows of du/dv with top-left (v0, u0) per match.
+
+    du, dv: [H, W] (any real dtype; u8-range values assumed, staged as bf16).
+    u0/v0 are clipped so the window stays in-bounds (callers mask
+    out-of-margin matches anyway).
+    """
+    H, W = du.shape
+    M = u0.shape[0]
+    # pad so every 128-aligned lane base has 256 readable lanes and every
+    # row start has PATCH readable rows; reads past (H, W) hit zeros but
+    # only land in the unused tail of the fixed-size window, so in-bounds
+    # sample positions are never shifted by clipping
+    Wp = (-(-(W) // 128)) * 128 + 128
+    Hp = -(-H // 8) * 8 + PATCH
+    duf = jnp.pad(du.astype(jnp.bfloat16), ((0, Hp - H), (0, Wp - W)))
+    dvf = jnp.pad(dv.astype(jnp.bfloat16), ((0, Hp - H), (0, Wp - W)))
+    uc = jnp.clip(u0.astype(jnp.int32), 0, W - 1)
+    vc = jnp.clip(v0.astype(jnp.int32), 0, H - 1)
+    block = min(block, M)
+    assert M % block == 0, (M, block)
+    while block % unroll:
+        unroll //= 2
+    grid = (M // block,)
+    pdu, pdv = pl.pallas_call(
+        functools.partial(_patch_kernel, unroll=unroll),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((Hp, Wp), lambda i: (0, 0)),
+            pl.BlockSpec((Hp, Wp), lambda i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((block, PATCH, PATCH), lambda i: (i, 0, 0)),
+            pl.BlockSpec((block, PATCH, PATCH), lambda i: (i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((M, PATCH, PATCH), jnp.float32),
+            jax.ShapeDtypeStruct((M, PATCH, PATCH), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(uc, vc, duf, dvf)
+    return pdu, pdv
+
+
+# ---------------------------------------------------------------------------
 # Plane density scoring
 # ---------------------------------------------------------------------------
 

@@ -48,21 +48,47 @@ def _patches(img, u0, v0, r: int):
     return jnp.take(img.reshape(-1), idx, axis=0).astype(jnp.float32)
 
 
-def _cost_surface(du1, dv1, du2, dv2, u1, v1, u2, v2, g: int):
-    """[M, 2g+1, 2g+1] SAD cost of the small descriptor at (u1,v1) in image 1
-    vs positions (u2+du, v2+dv), |du|,|dv| <= g, in image 2."""
+def small_ref_descriptors(du1, dv1, u1, v1):
+    """[M, 16] f32 small descriptor at integer (u1, v1).
+
+    TPU path: one Pallas patch extraction + 16 static picks (the flat
+    16-sample gather serializes on TPU)."""
     iu1 = u1.astype(jnp.int32)
     iv1 = v1.astype(jnp.int32)
+    if jax.default_backend() == "tpu":
+        from .pallas_kernels import extract_patches_pallas
+
+        pdu, pdv = extract_patches_pallas(du1, dv1, iu1 - 2, iv1 - 2)
+        P = (pdu, pdv)
+        return jnp.stack(
+            [P[ch][:, dy + 2, dx + 2] for ch, dx, dy in _SAMPLES], axis=1)
+    return compute_small_descriptors(du1, dv1, iu1, iv1).astype(jnp.float32)
+
+
+def _cost_surface(du1, dv1, du2, dv2, u1, v1, u2, v2, g: int, ref=None):
+    """[M, 2g+1, 2g+1] SAD cost of the small descriptor at (u1,v1) in image 1
+    vs positions (u2+du, v2+dv), |du|,|dv| <= g, in image 2."""
     iu2 = u2.astype(jnp.int32)
     iv2 = v2.astype(jnp.int32)
-    ref = compute_small_descriptors(du1, dv1, iu1, iv1).astype(jnp.float32)
+    if ref is None:
+        ref = small_ref_descriptors(du1, dv1, u1, v1)
     r = g + 2  # descriptor samples reach +-2 around each candidate
-    P = [_patches(du2, iu2, iv2, r), _patches(dv2, iu2, iv2, r)]
+    if jax.default_backend() == "tpu":
+        from .pallas_kernels import extract_patches_pallas
+
+        # fixed 16x16 window with top-left (v2-r, u2-r); sample (dy, dx) of
+        # candidate (dv, du) sits at [dv+dy+r, du+dx+r] relative to top-left
+        pdu, pdv = extract_patches_pallas(du2, dv2, iu2 - r, iv2 - r)
+        P = [pdu, pdv]
+        base = r - g  # == 2 for both window sizes
+    else:
+        P = [_patches(du2, iu2, iv2, r), _patches(dv2, iu2, iv2, r)]
+        base = r - g
     M = ref.shape[0]
     n = 2 * g + 1
     cost = jnp.zeros((M, n, n), jnp.float32)
     for k, (ch, dx, dy) in enumerate(_SAMPLES):
-        s = P[ch][:, r - g + dy: r + g + dy + 1, r - g + dx: r + g + dx + 1]
+        s = P[ch][:, base + dy: base + dy + n, base + dx: base + dx + n]
         cost = cost + jnp.abs(s - ref[:, k][:, None, None])
     return cost  # axis 1 = dv (row-major like the reference loops)
 
@@ -72,14 +98,17 @@ def relocate_minimum(
     du1, dv1, du2, dv2,
     u1, v1, u2, v2,
     w2: jnp.ndarray, h2: jnp.ndarray,
+    ref=None,
 ):
     """Vectorized relocateMinimum. Returns updated (u2, v2).
 
-    Out-of-margin targets are left unchanged (matcher.cpp:1464-1465)."""
+    Out-of-margin targets are left unchanged (matcher.cpp:1464-1465).
+    `ref` optionally supplies precomputed small_ref_descriptors(du1, dv1,
+    u1, v1) so callers refining several targets share one extraction."""
     m = jnp.float32(MARGIN)
     feasible = ((u2 - 2 >= m) & (u2 + 2 <= w2 - 1 - m) &
                 (v2 - 2 >= m) & (v2 + 2 <= h2 - 1 - m))
-    cost = _cost_surface(du1, dv1, du2, dv2, u1, v1, u2, v2, 2)  # [M,5,5]
+    cost = _cost_surface(du1, dv1, du2, dv2, u1, v1, u2, v2, 2, ref)  # [M,5,5]
     flat = cost.reshape(cost.shape[0], 25)
     best = jnp.argmin(flat, axis=1).astype(jnp.float32)  # dv-major, first-min
     du_off = jnp.mod(best, 5.0) - 2.0
@@ -89,15 +118,16 @@ def relocate_minimum(
 
 
 def relocate_minimum_prefix(du1, dv1, du2, dv2, u1, v1, u2, v2, w2, h2,
-                            window: int | None = None):
+                            window: int | None = None, ref=None):
     """relocate_minimum on the first `window` (compacted) matches only; the
     tail passes through unrefined. The patch gathers are the most
     gather-bound op in the frame, and valid matches live in a prefix."""
     n = u1.shape[0]
     if window is None or window >= n:
-        return relocate_minimum(du1, dv1, du2, dv2, u1, v1, u2, v2, w2, h2)
+        return relocate_minimum(du1, dv1, du2, dv2, u1, v1, u2, v2, w2, h2,
+                                ref)
     un, vn = relocate_minimum(du1, dv1, du2, dv2, u1[:window], v1[:window],
-                              u2[:window], v2[:window], w2, h2)
+                              u2[:window], v2[:window], w2, h2, ref)
     return (jnp.concatenate([un, u2[window:]]),
             jnp.concatenate([vn, v2[window:]]))
 
