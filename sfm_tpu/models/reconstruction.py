@@ -338,6 +338,25 @@ class Reconstruction:
             return np.zeros((0, 3))
         return np.stack(self._points)
 
+    def refine_map(self, iters: int = 5, damping: float = 1e-3,
+                   mesh=None, axis: str = "data"):
+        """Windowed bundle adjustment over the ACTIVE tracks and the recent
+        pose ring (capability beyond the reference, which only refines
+        points with cameras frozen, reconstruction.cpp:179-299).
+
+        Returns (points [T,3], point_valid [T], cam_tr [F,6], chi2): jointly
+        refined landmarks (current-camera coords) and window poses. Pass a
+        jax Mesh to shard landmarks and psum-reduce the camera system
+        (parallel/ba.py)."""
+        from ..parallel.ba import problem_from_recon, run_ba
+
+        prob = problem_from_recon(self._state, jnp.asarray(self.K, jnp.float32))
+        intr = (float(self.K[0, 0]), float(self.K[0, 2]), float(self.K[1, 2]))
+        refined, chi2 = run_ba(prob, intr, iters=iters, damping=damping,
+                               mesh=mesh, axis=axis)
+        return (np.asarray(refined.points), np.asarray(refined.point_valid),
+                np.asarray(refined.cam_tr), float(chi2))
+
     @property
     def n_active_tracks(self) -> int:
         return int(np.asarray(self._state.active).sum())

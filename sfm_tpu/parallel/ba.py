@@ -224,6 +224,70 @@ def run_ba(problem: BAProblem, intr, iters: int = 10, damping: float = 1e-3,
     return problem, chi
 
 
+@jax.jit
+def problem_from_recon(state, K: jnp.ndarray) -> BAProblem:
+    """Windowed BA problem over the reconstruction's ACTIVE tracks.
+
+    Cameras are the recent pose ring (frames_ago 0..FRAME_CAP-1, world frame
+    = current camera, world->cam_k = fwd_k^-1); landmarks are active tracks
+    with >= 2 observations, initialized by the same 2-view orthogonal-
+    regression triangulation the reference's initPoint uses
+    (reconstruction.cpp:148-177). Wire the result through run_ba /
+    make_distributed_ba_step (landmarks sharded, camera system psum-reduced)
+    and write back with apply_refined_points.
+    """
+    from ..models.reconstruction import FRAME_CAP, _se3_inv
+    from ..ops.linalg import smallest_right_singular_vector
+    from ..ops.se3 import rotation_angles
+
+    fwd = state.fwd                       # [F,4,4] cam_k -> current camera
+    inv = _se3_inv(fwd)                   # world(current cam) -> cam_k
+    proj = jnp.einsum("ij,fjk->fik", K, inv[:, :3, :])  # [F,3,4]
+
+    def to_tr(T):
+        rx, ry, rz = rotation_angles(T)
+        return jnp.stack([rx, ry, rz, T[0, 3], T[1, 3], T[2, 3]])
+
+    cam_tr = jax.vmap(to_tr)(inv)         # [F,6]
+
+    L = state.px_u.shape[1]
+    obs_j = jnp.arange(L, dtype=jnp.int32)[None, :]
+    obs_ago = jnp.clip(state.first_ago[:, None] - obs_j, 0, FRAME_CAP - 1)
+    obs_mask = (obs_j < state.length[:, None]) & state.active[:, None]
+
+    # 2-view triangulation from first/last observation
+    first_ago = jnp.clip(state.first_ago, 0, FRAME_CAP - 1)
+    last_ago = jnp.clip(state.first_ago - (state.length - 1), 0,
+                        FRAME_CAP - 1)
+    P1 = proj[first_ago]
+    P2 = proj[last_ago]
+    u1, v1 = state.px_u[:, 0], state.px_v[:, 0]
+    li = jnp.clip(state.length - 1, 0, L - 1)
+    u2 = jnp.take_along_axis(state.px_u, li[:, None], 1)[:, 0]
+    v2 = jnp.take_along_axis(state.px_v, li[:, None], 1)[:, 0]
+    J0 = jnp.stack([
+        P1[:, 2, :] * u1[:, None] - P1[:, 0, :],
+        P1[:, 2, :] * v1[:, None] - P1[:, 1, :],
+        P2[:, 2, :] * u2[:, None] - P2[:, 0, :],
+        P2[:, 2, :] * v2[:, None] - P2[:, 1, :],
+    ], axis=1)
+    Xh = smallest_right_singular_vector(J0)
+    w = Xh[:, 3]
+    ok_w = jnp.abs(w) >= 1e-10
+    pts = Xh[:, :3] / jnp.where(ok_w, w, 1.0)[:, None]
+
+    valid = (state.active & (state.length >= 2) & ok_w
+             & jnp.all(jnp.isfinite(pts), axis=1))
+    return BAProblem(
+        cam_tr=cam_tr,
+        points=jnp.where(valid[:, None], pts, 0.0),
+        obs_uv=jnp.stack([state.px_u, state.px_v], -1),
+        obs_cam=obs_ago,
+        obs_mask=obs_mask,
+        point_valid=valid,
+    )
+
+
 def synthetic_problem(n_cams: int, n_pts: int, k_obs: int, seed: int = 0,
                       noise: float = 0.5, intr=(500.0, 320.0, 160.0)):
     """Random well-conditioned BA problem with ground truth (for tests)."""

@@ -125,3 +125,34 @@ def test_track_capacity_overflow_drops_spawns(rng):
     recon.update(make_matches(32, pts_w, poses, 1, list(range(n_pts))),
                  poses[1] @ np.linalg.inv(poses[0]))
     assert recon.n_active_tracks <= 8
+
+
+def test_refine_map_windowed_ba(rng):
+    """Active tracks wire into the windowed BA (parallel/ba.py): noisy
+    observations still yield a consistent map, BA reduces chi2, and refined
+    landmarks land near their triangulated ground truth."""
+    n_pts = 24
+    pts_w = np.stack([rng.uniform(-4, 4, n_pts), rng.uniform(-1, 1.4, n_pts),
+                      rng.uniform(6, 14, n_pts)], 1)
+    poses = [forward_pose(i) for i in range(6)]
+    eng = EngineConfig(max_tracks=256, max_features_dense=64)
+    recon = Reconstruction(ReconstructionParams(), eng)
+    recon.set_calibration(F, CU, CV)
+    for k in range(1, 5):  # tracks stay ACTIVE (never dropped)
+        mm = make_matches(64, pts_w, poses, k, list(range(n_pts)))
+        rev = poses[k] @ np.linalg.inv(poses[k - 1])
+        recon.update(mm, rev, point_type=0, min_track_length=2,
+                     max_dist=30, min_angle=0.1)
+    assert recon.n_active_tracks >= n_pts
+
+    pts1, valid1, cams1, chi1 = recon.refine_map(iters=1)
+    pts5, valid5, cams5, chi5 = recon.refine_map(iters=6)
+    assert valid5.sum() >= n_pts
+    assert np.isfinite(chi5) and chi5 <= chi1 + 1e-3
+
+    # ground truth in the last camera's frame
+    Tl = poses[4]
+    gt_cam = (Tl[:3, :3] @ pts_w.T).T + Tl[:3, 3]
+    sel = valid5
+    err = np.linalg.norm(pts5[sel][: n_pts] - gt_cam, axis=1)
+    assert np.median(err) < 0.2, np.median(err)
