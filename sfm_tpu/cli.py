@@ -33,6 +33,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="output PLY point cloud")
     p.add_argument("--save-viz", default="",
                    help="save a top-down PNG scatter of the point cloud")
+    p.add_argument("-g", "--html-viewer", default="",
+                   help="write a self-contained interactive WebGL viewer "
+                        "(orbit camera + stereo mode, the reference's -g "
+                        "GUI equivalent)")
     p.add_argument("--poses-out", default="",
                    help="write per-frame 3x4 poses (KITTI format)")
     p.add_argument("--stats-json", default="",
@@ -69,6 +73,10 @@ def main(argv=None) -> int:
 
     if args.out_file:
         export_ply(sfm.get_points(), args.out_file)
+    if args.html_viewer:
+        from .utils.html_viewer import export_html
+
+        export_html(sfm.get_points(), args.html_viewer)
     if args.poses_out:
         with open(args.poses_out, "w") as fh:
             for T in poses:

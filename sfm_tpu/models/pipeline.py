@@ -133,6 +133,62 @@ def make_mono_sequence_fn(w: int, h: int, params: MonoParams,
     return jax.jit(seq)
 
 
+def make_mono_sfm_step(w: int, h: int, params: MonoParams,
+                       engine: EngineConfig, recon_params=None):
+    """Full monocular SfM frame step — VO + pose integration + mapping — as
+    ONE jitted program (the fused equivalent of StructureFromMotion.update,
+    sfm.hh:46-77 + reconstruction.cpp:50-146):
+
+        (prev: FrameFeatures, recon: ReconState, tr_total [4,4], img, key) ->
+            (prev_next, recon_next, tr_total_next, res: MonoResult,
+             points [T,3], point_valid [T])
+
+    Failure semantics match the reference: on VO failure the pose chain and
+    reconstruction state are left untouched and prev_next keeps the OLD
+    keyframe (the replace=true ring-buffer path, sfm.hh:70-76).
+    Emitted points are in the CURRENT camera frame; transform by tr_total on
+    the host to accumulate a global map.
+    """
+    from ..config import ReconstructionParams
+    from ..ops.se3 import se3_inverse, transformation_vector_to_matrix
+    from .reconstruction import recon_update
+
+    rp = recon_params or ReconstructionParams()
+    core = _make_mono_step_core(w, h, params, engine)
+    K = jnp.asarray([[params.calib.f, 0.0, params.calib.cu],
+                     [0.0, params.calib.f, params.calib.cv],
+                     [0.0, 0.0, 1.0]], jnp.float32)
+    import math
+
+    cp, sp = math.cos(rp.cam_pitch), math.sin(rp.cam_pitch)
+    tr_cam_road = jnp.asarray(
+        [[1.0, 0.0, 0.0, 0.0],
+         [0.0, cp, -sp, -rp.cam_height],
+         [0.0, sp, cp, 0.0],
+         [0.0, 0.0, 0.0, 1.0]], jnp.float32)
+
+    def step(prev: FrameFeatures, recon, tr_total, img, key):
+        cur, m, res = core(prev, img, key)
+        tr_delta = transformation_vector_to_matrix(res.tr)
+        tr_total_new = jnp.where(
+            res.success, tr_total @ se3_inverse(tr_delta), tr_total)
+        recon_new, pts, pt_valid = recon_update(
+            recon, m, tr_delta, K, tr_cam_road,
+            jnp.float32(rp.max_dist), jnp.float32(rp.min_angle),
+            feat_cap=engine.max_features_dense,
+            point_type=rp.point_type,
+            min_track_length=rp.min_track_length)
+        keep_new = res.success
+        recon_out = jax.tree.map(
+            lambda new, old: jnp.where(keep_new, new, old), recon_new, recon)
+        prev_next = jax.tree.map(
+            lambda c, p: jnp.where(keep_new, c, p), cur, prev)
+        pt_valid = pt_valid & keep_new
+        return prev_next, recon_out, tr_total_new, res, pts, pt_valid
+
+    return jax.jit(step)
+
+
 def make_stereo_sequence_fn(w: int, h: int, params: StereoParams,
                             engine: EngineConfig):
     """One-dispatch N-frame stereo pipeline (lax.scan over the frame axis).

@@ -110,3 +110,16 @@ class TestProfiling:
         assert len(info) >= 1 and info[0]["platform"] == "cpu"
         cost = compiled_cost(lambda x: x @ x, jnp.ones((64, 64)))
         assert isinstance(cost, dict)
+
+
+def test_html_viewer_export(tmp_path):
+    import numpy as np
+    from sfm_tpu.utils.html_viewer import export_html
+
+    pts = np.random.RandomState(0).randn(500, 3).astype(np.float32)
+    path = str(tmp_path / "cloud.html")
+    export_html(pts, path)
+    page = open(path).read()
+    assert "webgl" in page and "500 points" in page
+    assert len(page) > 500 * 12  # base64 payload embedded
+    export_html(np.zeros((0, 3)), str(tmp_path / "empty.html"))  # no crash
