@@ -7,11 +7,11 @@ cd "$(dirname "$0")"
 REF=/root/reference/viso
 # -include shims: reference relies on transitive includes that newer
 # libstdc++ no longer provides
-g++ -std=c++11 -O3 -march=native -DUSE_SIMD -include cstdint -include random \
-    -I"$REF" \
-    ref_bench.cpp \
-    "$REF/filter.cpp" "$REF/matcher.cpp" "$REF/matrix.cpp" \
-    "$REF/triangle.cpp" "$REF/viso.cpp" "$REF/viso_mono.cpp" \
-    "$REF/viso_stereo.cpp" "$REF/reconstruction.cpp" \
-    -o ref_bench -w
+SRCS="$REF/filter.cpp $REF/matcher.cpp $REF/matrix.cpp \
+      $REF/triangle.cpp $REF/viso.cpp $REF/viso_mono.cpp \
+      $REF/viso_stereo.cpp $REF/reconstruction.cpp"
+FLAGS="-std=c++11 -O3 -march=native -DUSE_SIMD -include cstdint -include random -I$REF -w"
+g++ $FLAGS ref_bench.cpp $SRCS -o ref_bench
 echo "built ref_bench"
+g++ $FLAGS ref_dump.cpp $SRCS -o ref_dump
+echo "built ref_dump"

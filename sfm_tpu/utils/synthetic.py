@@ -32,6 +32,11 @@ class SceneConfig:
     texture_size: int = 2048
     texture_scale: float = 6.0   # texture px per meter
     seed: int = 7
+    # occluders: vertical crossed-quad "pillars" scattered beside the path
+    n_pillars: int = 0
+    pillar_zmax: float = 60.0    # scatter pillars in z in [4, pillar_zmax]
+    pillar_xmin: float = 2.0     # keep a clear corridor around the path
+    pillar_size: tuple = (1.2, 3.0)   # (width, height) meters
 
 
 def _texture(n: int, seed: int) -> np.ndarray:
@@ -92,6 +97,24 @@ class SyntheticWorld:
             (np.array([1.0, 0.0, 0.0]), c.wall_dist,
              np.array([0.0, 0.0, 1.0]), np.array([0.0, 1.0, 0.0])),
         ]
+        # occluding pillars: each is two crossed vertical quads so it has
+        # visible extent from any heading (p0, e1 unit, e2 unit, s1, s2, tex
+        # offset); deterministic placement outside the driving corridor
+        self.quads = []
+        if c.n_pillars:
+            rng = np.random.RandomState(c.seed + 1)
+            sw, sh = c.pillar_size
+            for k in range(c.n_pillars):
+                side = 1.0 if k % 2 == 0 else -1.0
+                px = side * rng.uniform(c.pillar_xmin,
+                                        max(c.pillar_xmin + 0.5, c.wall_dist - 1.0))
+                pz = rng.uniform(4.0, c.pillar_zmax)
+                toff = rng.uniform(0, c.texture_size, 2)
+                base = np.array([px, c.cam_height, pz])  # pillar foot on ground
+                up = np.array([0.0, -1.0, 0.0])          # y down -> up is -y
+                for e1 in (np.array([1.0, 0.0, 0.0]), np.array([0.0, 0.0, 1.0])):
+                    p0 = base - e1 * (sw / 2)
+                    self.quads.append((p0, e1, up, sw, sh, toff))
 
     def render(self, T_wc: np.ndarray) -> np.ndarray:
         """T_wc: 4x4 world->camera. Returns uint8 [H, W] frame."""
@@ -122,6 +145,25 @@ class SyntheticWorld:
             closer = ok & (zc < depth)
             img = np.where(closer, val, img)
             depth = np.where(closer, zc, depth)
+        for p0, e1, e2, s1, s2, toff in self.quads:
+            n = np.cross(e1, e2)
+            denom = d_world @ n
+            tnum = n @ p0 - cam_center @ n
+            with np.errstate(divide="ignore", invalid="ignore"):
+                thit = tnum / denom
+            ok = (thit > 0.1) & np.isfinite(thit)
+            thit_safe = np.where(ok, thit, 1.0)
+            pts = cam_center[None, None, :] + thit_safe[..., None] * d_world
+            rel = pts - p0
+            a = rel @ e1
+            b = rel @ e2
+            ok &= (a >= 0) & (a <= s1) & (b >= 0) & (b <= s2)
+            uu = a * c.texture_scale * 4 + toff[0]
+            vv = b * c.texture_scale * 4 + toff[1]
+            val = _bilinear(self.tex, uu, vv)
+            closer = ok & (thit_safe < depth)
+            img = np.where(closer, val, img)
+            depth = np.where(closer, thit_safe, depth)
         # distance haze keeps far texture from aliasing into fake features
         img = np.where(np.isfinite(depth), img, 90.0)
         return np.clip(img, 0, 255).astype(np.uint8)
@@ -146,12 +188,80 @@ def straight_motion_poses(n_frames: int, step: float = 0.8,
     return poses
 
 
+def trajectory_poses(n_frames: int, step: float = 0.8, yaw_rate: float = 0.0,
+                     yaw_switch: int = 0, pitch_amp: float = 0.0,
+                     pitch_period: float = 40.0) -> list[np.ndarray]:
+    """World->camera poses for a driving trajectory.
+
+    yaw_rate: rad/frame turn; if yaw_switch > 0 the sign flips every
+    yaw_switch frames (S-curve). pitch_amp: sinusoidal pitch oscillation
+    (rad, simulating road undulation). The position always advances `step`
+    meters along the ground-parallel heading.
+    """
+    poses = []
+    pos = np.zeros(3)
+    yaw = 0.0
+    for i in range(n_frames):
+        cy, sy = np.cos(yaw), np.sin(yaw)
+        Ry = np.array([[cy, 0.0, -sy], [0.0, 1.0, 0.0], [sy, 0.0, cy]])
+        pitch = pitch_amp * np.sin(2 * np.pi * i / pitch_period)
+        cp, sp = np.cos(pitch), np.sin(pitch)
+        Rx = np.array([[1.0, 0.0, 0.0], [0.0, cp, sp], [0.0, -sp, cp]])
+        Rwc = Rx @ Ry
+        T = np.eye(4)
+        T[:3, :3] = Rwc
+        T[:3, 3] = -Rwc @ pos
+        poses.append(T)
+        fwd = np.array([sy, 0.0, cy])
+        pos = pos + step * fwd
+        r = yaw_rate
+        if yaw_switch and (i // yaw_switch) % 2 == 1:
+            r = -yaw_rate
+        yaw += r
+    return poses
+
+
+# Named benchmark/parity scenes (VERDICT round 1: diversify beyond the single
+# forward corridor — turns, pitch changes, occluders, long sequences). Values
+# are kwargs for trajectory_poses plus scene-config overrides.
+SCENE_SPECS = {
+    "forward": dict(step=0.8),
+    "curve": dict(step=0.7, yaw_rate=0.01),
+    "scurve": dict(step=0.7, yaw_rate=0.012, yaw_switch=25,
+                   pitch_amp=0.015, pitch_period=30.0),
+    "pillars": dict(step=0.8),
+}
+SCENE_CFG_OVERRIDES = {
+    "forward": {},
+    "curve": dict(wall_dist=24.0, seed=11),
+    "scurve": dict(wall_dist=20.0, seed=23),
+    "pillars": dict(n_pillars=48, pillar_zmax=260.0, seed=31),
+}
+
+
+def scene_sequence(name: str, n_frames: int, cfg: SceneConfig = None,
+                   baseline: float = 0.0):
+    """Render one of the named SCENE_SPECS scenes."""
+    from dataclasses import replace as dc_replace
+
+    base_cfg = cfg or SceneConfig()
+    over = SCENE_CFG_OVERRIDES[name]
+    # pillar scatter range should cover the driven distance
+    if name == "pillars":
+        over = dict(over, pillar_zmax=max(
+            over.get("pillar_zmax", 60.0), n_frames * 0.8 + 20.0))
+    scfg = dc_replace(base_cfg, **over)
+    poses = trajectory_poses(n_frames, **SCENE_SPECS[name])
+    return make_sequence(n_frames, scfg, baseline=baseline, poses=poses)
+
+
 def make_sequence(n_frames: int, cfg: SceneConfig = SceneConfig(),
                   step: float = 0.8, yaw_rate: float = 0.0,
-                  baseline: float = 0.0):
+                  baseline: float = 0.0, poses: list = None):
     """Returns (frames, poses) or (left, right, poses) when baseline > 0."""
     world = SyntheticWorld(cfg)
-    poses = straight_motion_poses(n_frames, step, yaw_rate)
+    if poses is None:
+        poses = straight_motion_poses(n_frames, step, yaw_rate)
     left = [world.render(T) for T in poses]
     if baseline == 0.0:
         return left, poses
