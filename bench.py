@@ -67,22 +67,30 @@ def _chunks(frames, lo, hi):
     return [np.stack(frames[i:i + CHUNK]) for i in range(lo, hi, CHUNK)]
 
 
-def bench_stereo(left, right, poses):
+def bench_stereo(left, right, poses, refinement=1, outlier_mode="grid",
+                 label="stereo", reps=REPS, staged=False):
     import jax
     import jax.numpy as jnp
 
     from sfm_tpu.config import (Bucketing, Calibration, EngineConfig,
-                                StereoParams)
+                                StereoParams, replace)
     from sfm_tpu.models.matcher import detect_features
-    from sfm_tpu.models.pipeline import make_stereo_frame_step
+    from sfm_tpu.models.pipeline import (make_stereo_frame_step,
+                                         make_stereo_frame_step_staged)
     from sfm_tpu.ops.se3 import transformation_vector_to_matrix
 
     h, w = left[0].shape
     params = StereoParams(
         calib=Calibration(f=645.2, cu=635.9, cv=194.1), base=0.571,
         bucket=Bucketing(max_features=1000))
-    engine = EngineConfig(outlier_mode="grid")
-    step = make_stereo_frame_step(w, h, params, engine)
+    if refinement != 1:
+        params = replace(params, match=replace(params.match,
+                                               refinement=refinement))
+    engine = EngineConfig(outlier_mode=outlier_mode)
+    # staged: Delaunay on host between 3 jitted stages (the axon runtime has
+    # no pure_callback support; see make_stereo_frame_step_staged)
+    step = (make_stereo_frame_step_staged(w, h, params, engine) if staged
+            else make_stereo_frame_step(w, h, params, engine))
 
     @jax.jit
     def prior_update(tr6, success, trp):
@@ -108,7 +116,7 @@ def bench_stereo(left, right, poses):
                                       jax.device_put(right[i]), trp, key)
         trp = prior_update(res.tr, res.success, trp)
     jax.block_until_ready(trp)
-    log(f"stereo warmup/compile: {time.perf_counter() - t0:.1f}s")
+    log(f"{label} warmup/compile: {time.perf_counter() - t0:.1f}s")
 
     lo = WARMUP + 1
     results = []
@@ -122,7 +130,7 @@ def bench_stereo(left, right, poses):
     upload_s = time.perf_counter() - t0
     pl0, pr0, trp0 = prev_l, prev_r, trp
     fps_reps = []
-    for rep in range(REPS):
+    for rep in range(reps):
         prev_l, prev_r, trp = pl0, pr0, trp0
         results = []
         t0 = time.perf_counter()
@@ -135,7 +143,7 @@ def bench_stereo(left, right, poses):
         jax.block_until_ready(results)
         fps_reps.append(N_FRAMES / (time.perf_counter() - t0))
     fps = max(fps_reps)
-    log(f"stereo reps: {[round(f, 1) for f in fps_reps]} "
+    log(f"{label} reps: {[round(f, 1) for f in fps_reps]} "
         f"(upload {upload_s * 1000 / N_FRAMES:.2f} ms/frame)")
 
     trs = np.stack([np.asarray(r[0]) for r in results])
@@ -144,7 +152,7 @@ def bench_stereo(left, right, poses):
     ni = np.array([int(r[3]) for r in results])
     i_last = lo + N_FRAMES - 1
     gt = poses[i_last] @ np.linalg.inv(poses[i_last - 1])
-    log(f"stereo: {fps:.2f} fps  last tr t=({trs[-1][3]:.3f},{trs[-1][4]:.3f},"
+    log(f"{label}: {fps:.2f} fps  last tr t=({trs[-1][3]:.3f},{trs[-1][4]:.3f},"
         f"{trs[-1][5]:.3f}) gt t_z={gt[2, 3]:.3f} success={int(succ.sum())}/"
         f"{N_FRAMES} matches~{int(nm.mean())} inliers~{int(ni.mean())}")
     return fps
@@ -213,11 +221,33 @@ def main():
     log(f"backend: {jax.devices()}")
     left, right, poses = load_frames()
     stereo_fps = bench_stereo(left, right, poses)
+    modes = {"stereo_grid_refine1": round(stereo_fps, 2)}
     try:
         mono_fps = bench_mono(left, poses)
+        modes["mono_grid_refine1"] = round(mono_fps, 2)
         log(f"mono_vo_fps={mono_fps:.2f} vs_baseline={mono_fps / REF_MONO_FPS:.2f}")
     except Exception as e:  # mono is secondary; never break the headline
         log(f"mono bench failed: {e}")
+    if os.environ.get("BENCH_MODES", "1") != "0":
+        # secondary configs (reference-surface completeness): subpixel
+        # refinement and the pure_callback Delaunay outlier mode
+        for kw, name in ((dict(refinement=2), "stereo_grid_refine2"),
+                         (dict(outlier_mode="delaunay", staged=True),
+                          "stereo_delaunay_refine1")):
+            try:
+                fps = bench_stereo(left, right, poses, label=name, reps=3,
+                                   **kw)
+                modes[name] = round(fps, 2)
+            except Exception as e:
+                log(f"{name} bench failed: {e}")
+        try:
+            with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "benchmarks", "bench_modes.json"),
+                      "w") as f:
+                json.dump(modes, f, indent=1)
+        except OSError as e:
+            log(f"could not write bench_modes.json: {e}")
+        log(f"mode fps: {modes}")
     print(json.dumps({
         "metric": "stereo_vo_fps_per_chip",
         "value": round(stereo_fps, 2),

@@ -29,6 +29,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pitch", type=float, default=-0.08,
                    help="camera pitch (rad, negative=down)")
     p.add_argument("-n", "--n-frames", type=int, default=0)
+    p.add_argument("-s", "--stereo", action="store_true",
+                   help="stereo SfM: frames named %%06d_l / %%06d_r in "
+                        "image_dir (metric scale; beyond the reference's "
+                        "mono-only driver)")
+    p.add_argument("-b", "--base", type=float, default=0.571,
+                   help="stereo baseline (m)")
+    p.add_argument("--refine-map", action="store_true",
+                   help="run windowed bundle adjustment over the active "
+                        "tracks + recent poses after the sequence and merge "
+                        "the refined landmarks into the exported map")
     p.add_argument("-o", "--out-file", default="",
                    help="output PLY point cloud")
     p.add_argument("--save-viz", default="",
@@ -47,29 +57,61 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
-    from .config import Bucketing, Calibration, EngineConfig, MonoParams
+    from .config import (Bucketing, Calibration, EngineConfig, MonoParams,
+                         StereoParams)
     from .models.sfm import StructureFromMotion
     from .utils.io import ImageSequenceLoader
     from .utils.ply import export_ply
     from .utils.timer import StartTimer
 
-    video = ImageSequenceLoader(args.image_dir)
+    calib = Calibration(f=args.focal, cu=args.cu, cv=args.cv)
+    bucket = Bucketing(max_features=1000)  # main.cpp:71 disables bucketing
+    params = MonoParams(calib=calib, height=args.height, pitch=args.pitch,
+                        bucket=bucket)
+    if args.stereo:
+        video = ImageSequenceLoader(args.image_dir, suffix="_l")
+        video_r = ImageSequenceLoader(args.image_dir, suffix="_r")
+        stereo_params = StereoParams(calib=calib, base=args.base,
+                                     bucket=bucket)
+    else:
+        video = ImageSequenceLoader(args.image_dir)
+        video_r = None
+        stereo_params = None
     n = args.n_frames or video.n_frames
-    params = MonoParams(
-        calib=Calibration(f=args.focal, cu=args.cu, cv=args.cv),
-        height=args.height, pitch=args.pitch,
-        bucket=Bucketing(max_features=1000))  # main.cpp:71 disables bucketing
-    sfm = StructureFromMotion(params, dims=video.get_dims(), verbose=True)
+    sfm = StructureFromMotion(params, dims=video.get_dims(), verbose=True,
+                              stereo_params=stereo_params)
 
     poses = []
     timer = StartTimer("Total time", verbose=False)
-    for i, img in enumerate(video.prefetch(n)):
-        print(f"Processing: Frame: {i}")
-        sfm.update(img)
-        poses.append(sfm.get_pose().copy())
+    if args.stereo:
+        frames_r = video_r.prefetch(n)
+        for i, img in enumerate(video.prefetch(n)):
+            print(f"Processing: Frame: {i}")
+            sfm.update(img, next(frames_r))
+            poses.append(sfm.get_pose().copy())
+    else:
+        for i, img in enumerate(video.prefetch(n)):
+            print(f"Processing: Frame: {i}")
+            sfm.update(img)
+            poses.append(sfm.get_pose().copy())
     total = timer.end()
     fps = n / total
     print(f"FPS: {fps}")
+
+    refined_stats = {}
+    if args.refine_map:
+        pts_r, valid_r, cam_tr, chi2 = sfm.refine_map(iters=8)
+        n_ref = int(valid_r.sum())
+        print(f"refine-map: BA over {n_ref} active tracks, "
+              f"final chi2={chi2:.1f}")
+        refined_stats = {"refined_tracks": n_ref, "ba_chi2": float(chi2)}
+        if n_ref:
+            # refined landmarks are in current-camera coords, like the
+            # finished points the reconstruction emits
+            import numpy as _np
+
+            extra = pts_r[valid_r].astype(_np.float64)
+            sfm.reconstruction._points.extend(list(extra))
 
     if args.out_file:
         export_ply(sfm.get_points(), args.out_file)
@@ -98,7 +140,8 @@ def main(argv=None) -> int:
     if args.stats_json:
         with open(args.stats_json, "w") as fh:
             json.dump({"frames": n, "fps": fps,
-                       "points": int(len(sfm.get_points()))}, fh)
+                       "points": int(len(sfm.get_points())),
+                       **refined_stats}, fh)
     print("Demo complete!")
     return 0
 

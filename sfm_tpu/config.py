@@ -125,6 +125,9 @@ class EngineConfig:
     # outlier removal implementation: "delaunay" (host callback, reference-
     # faithful, matcher.cpp:1207-1377) or "grid" (TPU-resident approximation)
     outlier_mode: str = "delaunay"
+    # compute the frame-to-frame camera gain ratio in the fused pipeline
+    # (matcher.cpp:286-324 getGain; the class path exposes get_gain() instead)
+    compute_gain: bool = False
     # use Pallas kernels for hot ops (auto-disabled on CPU test backend)
     use_pallas: Optional[bool] = None
     # float dtype for geometry (reference uses float64; f32 is TPU-native)

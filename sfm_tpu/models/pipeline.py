@@ -2,13 +2,20 @@
 
 The Matcher/VO classes interleave host steps (Delaunay outlier removal) with
 jitted stages — reference-faithful, but each host round-trip costs tunnel
-latency and blocks batching. This module provides the *pure* pipeline: one
-jitted function per frame step using the on-device grid-consistency outlier
-filter (EngineConfig.outlier_mode="grid"), suitable for:
+latency and blocks batching. This module provides the *pure* pipeline: ONE
+jitted function per frame step. Outlier filtering follows
+EngineConfig.outlier_mode: "grid" keeps everything on-device (radius-support
+voting), "delaunay" runs the reference-faithful host filter via
+pure_callback while staying a single dispatch. Uses:
 
-  * single-chip speed-of-light execution (bench fast path),
-  * vmap over a batch of sequences (data parallelism across a mesh),
+  * single-chip speed-of-light execution (bench fast path, grid mode),
+  * vmap over a batch of sequences (data parallelism across a mesh; grid
+    mode only — callbacks don't shard),
   * the multi-chip dry run.
+
+Refinement honors MatcherParams.refinement (1 = pixel relocate_minimum,
+2 = subpixel parabolic fitting, failures dropped — matcher.cpp:1379-1585),
+and EngineConfig.compute_gain adds the getGain ratio to the result.
 
 Structure mirrors Matcher::matchFeatures + VisualOdometry*::process
 (matcher.cpp:183-241, viso_mono.cpp:33-39, viso_stereo.cpp:33-40).
@@ -26,20 +33,35 @@ from ..config import EngineConfig, MonoParams, StereoParams
 from ..ops.matching import (Matches, bucket_matches, compact_matches,
                             compute_prior_statistics)
 from ..ops.nms import FeatureSet
-from ..ops.outliers import grid_consistency_mask
-from ..ops.refine import relocate_minimum_prefix, small_ref_descriptors
+from ..ops.outliers import delaunay_mask_callback, grid_consistency_mask
+from ..ops.refine import (parabolic_fitting_prefix, relocate_minimum_prefix,
+                          small_ref_descriptors)
 from .matcher import FrameFeatures, detect_features, match_flow, match_quad, match_stereo
+from .matcher import _gain_means
 from .mono import MonoResult, mono_estimate_motion
 from .stereo import StereoResult, stereo_estimate_motion
 
 
-def _grid_outliers(m: Matches, method: int, flow_tol: float, disp_tol: float,
-                   cap: int) -> Matches:
+def _outliers(m: Matches, method: int, flow_tol: float, disp_tol: float,
+              cap: int, mode: str = "grid") -> Matches:
+    """Outlier filtering inside the fused step: "grid" = on-device radius
+    support (default for DP/sharded use), "delaunay" = reference-faithful
+    host callback (matcher.cpp:1207-1377 via pure_callback — stays one
+    dispatch per frame, two host round-trips)."""
     flow_u, flow_v = m.u1c - m.u1p, m.v1c - m.v1p
     disp = (m.u1c - m.u2c) if method == 1 else (m.u1p - m.u2p)
-    keep = grid_consistency_mask(m.u1c, m.v1c, m.valid, flow_u, flow_v, disp,
-                                 method, flow_tol, disp_tol)
+    if mode == "delaunay":
+        keep = delaunay_mask_callback(m.u1c, m.v1c, m.valid, flow_u, flow_v,
+                                      disp, method, flow_tol, disp_tol)
+    else:
+        keep = grid_consistency_mask(m.u1c, m.v1c, m.valid, flow_u, flow_v,
+                                     disp, method, flow_tol, disp_tol)
     return compact_matches(m._replace(valid=keep), cap)
+
+
+def _grid_outliers(m: Matches, method: int, flow_tol: float, disp_tol: float,
+                   cap: int) -> Matches:
+    return _outliers(m, method, flow_tol, disp_tol, cap, "grid")
 
 
 def make_mono_frame_step(w: int, h: int, params: MonoParams,
@@ -67,6 +89,8 @@ def _make_mono_step_core(w: int, h: int, params: MonoParams,
     calib = jnp.asarray([params.calib.f, params.calib.cu, params.calib.cv],
                         jnp.float32)
 
+    mode = engine.outlier_mode
+
     def step(prev: FrameFeatures, img, key):
         cur = detect_features(
             img, w=w, h=h, nms_n=p.nms_n, nms_tau=p.nms_tau,
@@ -76,21 +100,29 @@ def _make_mono_step_core(w: int, h: int, params: MonoParams,
         k_bucket, k_ransac = jax.random.split(key)
 
         m1 = match_flow(prev.sparse, cur.sparse, None, use_rt=False, **kw)
-        m1 = _grid_outliers(m1, 0, p.outlier_flow_tolerance,
-                            p.outlier_disp_tolerance, engine.max_matches)
+        m1 = _outliers(m1, 0, p.outlier_flow_tolerance,
+                       p.outlier_disp_tolerance, engine.max_matches, mode)
         rt = compute_prior_statistics(
             m1, method=0, n_bins_u=nbu, n_bins_v=nbv,
             binsize=p.match_binsize, match_radius=float(radius))
         m2 = match_flow(prev.dense, cur.dense, rt, use_rt=True, **kw)
-        m2 = _grid_outliers(m2, 0, p.outlier_flow_tolerance,
-                            p.outlier_disp_tolerance, engine.max_matches)
+        m2 = _outliers(m2, 0, p.outlier_flow_tolerance,
+                       p.outlier_disp_tolerance, engine.max_matches, mode)
         m2 = bucket_matches(m2, k_bucket, params.bucket.max_features,
                             params.bucket.bucket_width,
                             params.bucket.bucket_height, engine.max_matches)
         # fast path refines AFTER filtering/bucketing (fewer matches to
         # patch-gather; the +-2 px moves are well inside the 5 px outlier
         # tolerances, so filter results are equivalent in practice)
-        if p.refinement > 0:
+        if p.refinement == 2:
+            u1p, v1p, ok = parabolic_fitting_prefix(
+                cur.du_full, cur.dv_full, prev.du_full, prev.dv_full,
+                m2.u1c, m2.v1c, m2.u1p, m2.v1p,
+                jnp.float32(w), jnp.float32(h), window=engine.refine_window)
+            m2 = compact_matches(
+                m2._replace(u1p=u1p, v1p=v1p, valid=m2.valid & ok),
+                engine.max_matches)
+        elif p.refinement == 1:
             u1p, v1p = relocate_minimum_prefix(
                 cur.du_full, cur.dv_full, prev.du_full, prev.dv_full,
                 m2.u1c, m2.v1c, m2.u1p, m2.v1p,
@@ -101,6 +133,10 @@ def _make_mono_step_core(w: int, h: int, params: MonoParams,
             jnp.float32(params.pitch), jnp.float32(params.inlier_threshold),
             jnp.float32(params.motion_threshold),
             ransac_iters=params.ransac_iters)
+        if engine.compute_gain:
+            res = res._replace(gain=_gain_means(
+                prev.img, cur.img, m2.u1p, m2.v1p, m2.u1c, m2.v1c,
+                m2.valid & res.inliers, w=w, h=h))
         return cur, m2, res
 
     return step
@@ -189,6 +225,66 @@ def make_mono_sfm_step(w: int, h: int, params: MonoParams,
     return jax.jit(step)
 
 
+def make_stereo_sfm_step(w: int, h: int, params: StereoParams,
+                         engine: EngineConfig, recon_params=None):
+    """Full STEREO SfM frame step — quad-match VO + pose integration +
+    mapping — as ONE jitted program (metric-scale counterpart of
+    make_mono_sfm_step; the reference's SfM driver is mono-only, sfm.hh:24-44,
+    but its Reconstruction consumes exactly these matches,
+    reconstruction.cpp:50-146):
+
+        (prev_l, prev_r: FrameFeatures, recon: ReconState, tr_total [4,4],
+         tr_prior [4,4], I1, I2, key) ->
+            (prev_l', prev_r', recon', tr_total', tr_prior', res, points,
+             point_valid)
+
+    Failure semantics as in make_mono_sfm_step: state untouched, old
+    keyframe kept, prior Tr reused (viso.h:83-86, sfm.hh:70-76).
+    """
+    import math
+
+    from ..config import ReconstructionParams
+    from ..ops.se3 import se3_inverse, transformation_vector_to_matrix
+    from .reconstruction import recon_update
+
+    rp = recon_params or ReconstructionParams()
+    core = _make_stereo_step_core(w, h, params, engine)
+    K = jnp.asarray([[params.calib.f, 0.0, params.calib.cu],
+                     [0.0, params.calib.f, params.calib.cv],
+                     [0.0, 0.0, 1.0]], jnp.float32)
+    cp, sp = math.cos(rp.cam_pitch), math.sin(rp.cam_pitch)
+    tr_cam_road = jnp.asarray(
+        [[1.0, 0.0, 0.0, 0.0],
+         [0.0, cp, -sp, -rp.cam_height],
+         [0.0, sp, cp, 0.0],
+         [0.0, 0.0, 0.0, 1.0]], jnp.float32)
+
+    def step(prev_l, prev_r, recon, tr_total, tr_prior, I1, I2, key):
+        cur_l, cur_r, m, res = core(prev_l, prev_r, I1, I2, tr_prior, key)
+        tr_delta = transformation_vector_to_matrix(res.tr)
+        tr_total_new = jnp.where(
+            res.success, tr_total @ se3_inverse(tr_delta), tr_total)
+        tr_prior_new = jnp.where(res.success, tr_delta, tr_prior)
+        recon_new, pts, pt_valid = recon_update(
+            recon, m, tr_delta, K, tr_cam_road,
+            jnp.float32(rp.max_dist), jnp.float32(rp.min_angle),
+            feat_cap=engine.max_features_dense,
+            point_type=rp.point_type,
+            min_track_length=rp.min_track_length)
+        keep_new = res.success
+        recon_out = jax.tree.map(
+            lambda new, old: jnp.where(keep_new, new, old), recon_new, recon)
+        prev_l_next = jax.tree.map(
+            lambda c, p: jnp.where(keep_new, c, p), cur_l, prev_l)
+        prev_r_next = jax.tree.map(
+            lambda c, p: jnp.where(keep_new, c, p), cur_r, prev_r)
+        pt_valid = pt_valid & keep_new
+        return (prev_l_next, prev_r_next, recon_out, tr_total_new,
+                tr_prior_new, res, pts, pt_valid)
+
+    return jax.jit(step)
+
+
 def make_stereo_sequence_fn(w: int, h: int, params: StereoParams,
                             engine: EngineConfig):
     """One-dispatch N-frame stereo pipeline (lax.scan over the frame axis).
@@ -228,6 +324,146 @@ def make_stereo_sequence_fn(w: int, h: int, params: StereoParams,
     return jax.jit(seq)
 
 
+def make_stereo_frame_step_staged(w: int, h: int, params: StereoParams,
+                                  engine: EngineConfig):
+    """Reference-faithful Delaunay outlier mode for runtimes WITHOUT host
+    callbacks (the axon PJRT tunnel rejects pure_callback): the frame is
+    split into three jitted stages with the two Delaunay filters run on host
+    between them — 3 dispatches + 2 host hops per frame instead of the ~10
+    of the class path.
+
+    Same signature/results as make_stereo_frame_step with
+    outlier_mode="delaunay".
+    """
+    import numpy as np
+
+    from ..ops.outliers import delaunay_support_mask
+
+    p = params.match
+    radius = p.match_radius / 2 if p.half_resolution else p.match_radius
+    nbu = -(-w // p.match_binsize)
+    nbv = -(-h // p.match_binsize)
+    kw = dict(w=w, h=h, binsize=p.match_binsize, nbu=nbu, nbv=nbv,
+              radius=float(radius), disp_tol=float(p.match_disp_tolerance),
+              cap=engine.max_matches)
+    calib4 = jnp.asarray(
+        [params.calib.f, params.calib.cu, params.calib.cv, params.base],
+        jnp.float32)
+
+    def detect(img):
+        return detect_features(
+            img, w=w, h=h, nms_n=p.nms_n, nms_tau=p.nms_tau,
+            multi_stage=p.multi_stage, half_resolution=p.half_resolution,
+            cap_sparse=engine.max_features_sparse,
+            cap_dense=engine.max_features_dense)
+
+    @jax.jit
+    def stage_a(prev_l, prev_r, I1, I2, tr_prior):
+        cur_l = detect(I1)
+        cur_r = detect(I2)
+        m1 = match_quad(prev_l.sparse, prev_r.sparse, cur_l.sparse,
+                        cur_r.sparse, None, tr_prior, calib4,
+                        use_rt=False, use_tr=True, **kw)
+        return cur_l, cur_r, m1
+
+    @jax.jit
+    def stage_b(prev_l, prev_r, cur_l, cur_r, m1, keep1, tr_prior):
+        m1 = compact_matches(m1._replace(valid=m1.valid & keep1),
+                             engine.max_matches)
+        rt = compute_prior_statistics(
+            m1, method=2, n_bins_u=nbu, n_bins_v=nbv,
+            binsize=p.match_binsize, match_radius=float(radius))
+        return match_quad(prev_l.dense, prev_r.dense, cur_l.dense,
+                          cur_r.dense, rt, tr_prior, calib4,
+                          use_rt=True, use_tr=True, **kw)
+
+    # stage C == the tail of the fused step (bucket/refine/estimate); reuse
+    # the fused core on pre-filtered matches by marking outliers invalid
+    core_tail = _make_stereo_tail(w, h, params, engine, calib4, kw)
+
+    def host_mask(m):
+        u1c = np.asarray(m.u1c)
+        flow_u = u1c - np.asarray(m.u1p)
+        flow_v = np.asarray(m.v1c) - np.asarray(m.v1p)
+        disp = np.asarray(m.u1p) - np.asarray(m.u2p)
+        return jnp.asarray(delaunay_support_mask(
+            u1c, np.asarray(m.v1c), np.asarray(m.valid), flow_u, flow_v,
+            disp, 2, float(p.outlier_flow_tolerance),
+            float(p.outlier_disp_tolerance)))
+
+    def step(prev_l, prev_r, I1, I2, tr_prior, key):
+        cur_l, cur_r, m1 = stage_a(prev_l, prev_r, I1, I2, tr_prior)
+        keep1 = host_mask(m1)
+        m2 = stage_b(prev_l, prev_r, cur_l, cur_r, m1, keep1, tr_prior)
+        keep2 = host_mask(m2)
+        m2f, res = core_tail(prev_l, prev_r, cur_l, cur_r, m2, keep2, key)
+        return cur_l, cur_r, m2f, res
+
+    return step
+
+
+def _make_stereo_tail(w, h, params, engine, calib4, kw):
+    """Jitted bucket+refine+estimate tail shared by the staged pipeline."""
+    p = params.match
+
+    @jax.jit
+    def tail(prev_l, prev_r, cur_l, cur_r, m2, keep2, key):
+        k_bucket, k_ransac = jax.random.split(key)
+        m2 = compact_matches(m2._replace(valid=m2.valid & keep2),
+                             engine.max_matches)
+        m2 = bucket_matches(m2, k_bucket, params.bucket.max_features,
+                            params.bucket.bucket_width,
+                            params.bucket.bucket_height, engine.max_matches)
+        if p.refinement > 0:
+            rw = min(engine.refine_window, engine.max_matches)
+            ref = small_ref_descriptors(cur_l.du_full, cur_l.dv_full,
+                                        m2.u1c[:rw], m2.v1c[:rw])
+            wf, hf = jnp.float32(w), jnp.float32(h)
+            if p.refinement == 2:
+                u1p, v1p, ok1 = parabolic_fitting_prefix(
+                    cur_l.du_full, cur_l.dv_full, prev_l.du_full,
+                    prev_l.dv_full, m2.u1c, m2.v1c, m2.u1p, m2.v1p,
+                    wf, hf, window=rw, ref=ref)
+                u2c, v2c, ok2 = parabolic_fitting_prefix(
+                    cur_l.du_full, cur_l.dv_full, cur_r.du_full,
+                    cur_r.dv_full, m2.u1c, m2.v1c, m2.u2c, m2.v2c,
+                    wf, hf, window=rw, ref=ref)
+                u2p, v2p, ok3 = parabolic_fitting_prefix(
+                    cur_l.du_full, cur_l.dv_full, prev_r.du_full,
+                    prev_r.dv_full, m2.u1c, m2.v1c, m2.u2p, m2.v2p,
+                    wf, hf, window=rw, ref=ref)
+                m2 = compact_matches(
+                    m2._replace(u1p=u1p, v1p=v1p, u2c=u2c, v2c=v2c,
+                                u2p=u2p, v2p=v2p,
+                                valid=m2.valid & ok1 & ok2 & ok3),
+                    engine.max_matches)
+            else:
+                u1p, v1p = relocate_minimum_prefix(
+                    cur_l.du_full, cur_l.dv_full, prev_l.du_full,
+                    prev_l.dv_full, m2.u1c, m2.v1c, m2.u1p, m2.v1p,
+                    wf, hf, window=rw, ref=ref)
+                u2c, v2c = relocate_minimum_prefix(
+                    cur_l.du_full, cur_l.dv_full, cur_r.du_full,
+                    cur_r.dv_full, m2.u1c, m2.v1c, m2.u2c, m2.v2c,
+                    wf, hf, window=rw, ref=ref)
+                u2p, v2p = relocate_minimum_prefix(
+                    cur_l.du_full, cur_l.dv_full, prev_r.du_full,
+                    prev_r.dv_full, m2.u1c, m2.v1c, m2.u2p, m2.v2p,
+                    wf, hf, window=rw, ref=ref)
+                m2 = m2._replace(u1p=u1p, v1p=v1p, u2c=u2c, v2c=v2c,
+                                 u2p=u2p, v2p=v2p)
+        res = stereo_estimate_motion(
+            m2, k_ransac, calib4, jnp.float32(params.inlier_threshold),
+            ransac_iters=params.ransac_iters)
+        if engine.compute_gain:
+            res = res._replace(gain=_gain_means(
+                prev_l.img, cur_l.img, m2.u1p, m2.v1p, m2.u1c, m2.v1c,
+                m2.valid & res.inliers, w=w, h=h))
+        return m2, res
+
+    return tail
+
+
 def make_stereo_frame_step(w: int, h: int, params: StereoParams,
                            engine: EngineConfig):
     """Jitted pure quad-matching stereo step:
@@ -259,6 +495,8 @@ def _make_stereo_step_core(w: int, h: int, params: StereoParams,
             cap_sparse=engine.max_features_sparse,
             cap_dense=engine.max_features_dense)
 
+    mode = engine.outlier_mode
+
     def step(prev_l: FrameFeatures, prev_r: FrameFeatures, I1, I2, tr_prior,
              key):
         cur_l = detect(I1)
@@ -268,15 +506,15 @@ def _make_stereo_step_core(w: int, h: int, params: StereoParams,
         m1 = match_quad(prev_l.sparse, prev_r.sparse, cur_l.sparse,
                         cur_r.sparse, None, tr_prior, calib4,
                         use_rt=False, use_tr=True, **kw)
-        m1 = _grid_outliers(m1, 2, p.outlier_flow_tolerance,
-                            p.outlier_disp_tolerance, engine.max_matches)
+        m1 = _outliers(m1, 2, p.outlier_flow_tolerance,
+                       p.outlier_disp_tolerance, engine.max_matches, mode)
         rt = compute_prior_statistics(
             m1, method=2, n_bins_u=nbu, n_bins_v=nbv,
             binsize=p.match_binsize, match_radius=float(radius))
         m2 = match_quad(prev_l.dense, prev_r.dense, cur_l.dense, cur_r.dense,
                         rt, tr_prior, calib4, use_rt=True, use_tr=True, **kw)
-        m2 = _grid_outliers(m2, 2, p.outlier_flow_tolerance,
-                            p.outlier_disp_tolerance, engine.max_matches)
+        m2 = _outliers(m2, 2, p.outlier_flow_tolerance,
+                       p.outlier_disp_tolerance, engine.max_matches, mode)
         m2 = bucket_matches(m2, k_bucket, params.bucket.max_features,
                             params.bucket.bucket_width,
                             params.bucket.bucket_height, engine.max_matches)
@@ -287,23 +525,47 @@ def _make_stereo_step_core(w: int, h: int, params: StereoParams,
             # (cur-left at u1c/v1c); extract it once
             ref = small_ref_descriptors(cur_l.du_full, cur_l.dv_full,
                                         m2.u1c[:rw], m2.v1c[:rw])
-            u1p, v1p = relocate_minimum_prefix(
-                cur_l.du_full, cur_l.dv_full, prev_l.du_full, prev_l.dv_full,
-                m2.u1c, m2.v1c, m2.u1p, m2.v1p, jnp.float32(w),
-                jnp.float32(h), window=rw, ref=ref)
-            u2c, v2c = relocate_minimum_prefix(
-                cur_l.du_full, cur_l.dv_full, cur_r.du_full, cur_r.dv_full,
-                m2.u1c, m2.v1c, m2.u2c, m2.v2c, jnp.float32(w),
-                jnp.float32(h), window=rw, ref=ref)
-            u2p, v2p = relocate_minimum_prefix(
-                cur_l.du_full, cur_l.dv_full, prev_r.du_full, prev_r.dv_full,
-                m2.u1c, m2.v1c, m2.u2p, m2.v2p, jnp.float32(w),
-                jnp.float32(h), window=rw, ref=ref)
-            m2 = m2._replace(u1p=u1p, v1p=v1p, u2c=u2c, v2c=v2c,
-                             u2p=u2p, v2p=v2p)
+            wf, hf = jnp.float32(w), jnp.float32(h)
+            if p.refinement == 2:
+                u1p, v1p, ok1 = parabolic_fitting_prefix(
+                    cur_l.du_full, cur_l.dv_full, prev_l.du_full,
+                    prev_l.dv_full, m2.u1c, m2.v1c, m2.u1p, m2.v1p,
+                    wf, hf, window=rw, ref=ref)
+                u2c, v2c, ok2 = parabolic_fitting_prefix(
+                    cur_l.du_full, cur_l.dv_full, cur_r.du_full,
+                    cur_r.dv_full, m2.u1c, m2.v1c, m2.u2c, m2.v2c,
+                    wf, hf, window=rw, ref=ref)
+                u2p, v2p, ok3 = parabolic_fitting_prefix(
+                    cur_l.du_full, cur_l.dv_full, prev_r.du_full,
+                    prev_r.dv_full, m2.u1c, m2.v1c, m2.u2p, m2.v2p,
+                    wf, hf, window=rw, ref=ref)
+                m2 = compact_matches(
+                    m2._replace(u1p=u1p, v1p=v1p, u2c=u2c, v2c=v2c,
+                                u2p=u2p, v2p=v2p,
+                                valid=m2.valid & ok1 & ok2 & ok3),
+                    engine.max_matches)
+            else:
+                u1p, v1p = relocate_minimum_prefix(
+                    cur_l.du_full, cur_l.dv_full, prev_l.du_full,
+                    prev_l.dv_full, m2.u1c, m2.v1c, m2.u1p, m2.v1p,
+                    wf, hf, window=rw, ref=ref)
+                u2c, v2c = relocate_minimum_prefix(
+                    cur_l.du_full, cur_l.dv_full, cur_r.du_full,
+                    cur_r.dv_full, m2.u1c, m2.v1c, m2.u2c, m2.v2c,
+                    wf, hf, window=rw, ref=ref)
+                u2p, v2p = relocate_minimum_prefix(
+                    cur_l.du_full, cur_l.dv_full, prev_r.du_full,
+                    prev_r.dv_full, m2.u1c, m2.v1c, m2.u2p, m2.v2p,
+                    wf, hf, window=rw, ref=ref)
+                m2 = m2._replace(u1p=u1p, v1p=v1p, u2c=u2c, v2c=v2c,
+                                 u2p=u2p, v2p=v2p)
         res = stereo_estimate_motion(
             m2, k_ransac, calib4, jnp.float32(params.inlier_threshold),
             ransac_iters=params.ransac_iters)
+        if engine.compute_gain:
+            res = res._replace(gain=_gain_means(
+                prev_l.img, cur_l.img, m2.u1p, m2.v1p, m2.u1c, m2.v1c,
+                m2.valid & res.inliers, w=w, h=h))
         return cur_l, cur_r, m2, res
 
     return step

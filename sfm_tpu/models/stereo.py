@@ -30,6 +30,9 @@ class StereoResult(NamedTuple):
     inliers: jnp.ndarray
     n_inliers: jnp.ndarray
     n_matches: jnp.ndarray
+    # frame-to-frame camera gain ratio (matcher.cpp:286-324); populated by
+    # the fused pipeline when EngineConfig.compute_gain is set
+    gain: jnp.ndarray = None
 
 
 @functools.partial(jax.jit, static_argnames=("ransac_iters",))

@@ -80,6 +80,35 @@ def delaunay_support_mask(
     return keep
 
 
+def delaunay_mask_callback(
+    u1c: jnp.ndarray,
+    v1c: jnp.ndarray,
+    valid: jnp.ndarray,
+    flow_u: jnp.ndarray,
+    flow_v: jnp.ndarray,
+    disp: jnp.ndarray,
+    method: int,
+    flow_tol: float,
+    disp_tol: float,
+) -> jnp.ndarray:
+    """Reference-faithful Delaunay support mask as a host callback, usable
+    INSIDE jit (matcher.cpp:1207-1377 via pure_callback).
+
+    Keeps the fused per-frame pipeline at one dispatch with two host
+    round-trips per frame instead of ~10 (ROADMAP item 5). Not usable under
+    shard_map; DP batches should stay on outlier_mode="grid" (it vmaps, but
+    sequentially)."""
+
+    def host(u, v, val, fu, fv, dp):
+        return delaunay_support_mask(
+            np.asarray(u), np.asarray(v), np.asarray(val), np.asarray(fu),
+            np.asarray(fv), np.asarray(dp), method, flow_tol, disp_tol)
+
+    return jax.pure_callback(
+        host, jax.ShapeDtypeStruct(valid.shape, jnp.bool_),
+        u1c, v1c, valid, flow_u, flow_v, disp, vmap_method="sequential")
+
+
 @functools.partial(jax.jit, static_argnames=("method",))
 def grid_consistency_mask(
     u1c: jnp.ndarray,

@@ -132,6 +132,24 @@ def relocate_minimum_prefix(du1, dv1, du2, dv2, u1, v1, u2, v2, w2, h2,
             jnp.concatenate([vn, v2[window:]]))
 
 
+def parabolic_fitting_prefix(du1, dv1, du2, dv2, u1, v1, u2, v2, w2, h2,
+                             window: int | None = None, ref=None):
+    """parabolic_fitting on the first `window` (compacted) matches; the tail
+    passes through unrefined with ok=True (valid matches live in a prefix,
+    see relocate_minimum_prefix)."""
+    n = u1.shape[0]
+    if window is None or window >= n:
+        return parabolic_fitting(du1, dv1, du2, dv2, u1, v1, u2, v2, w2, h2,
+                                 ref)
+    un, vn, ok = parabolic_fitting(du1, dv1, du2, dv2, u1[:window],
+                                   v1[:window], u2[:window], v2[:window],
+                                   w2, h2, ref)
+    pad_ok = jnp.ones((n - window,), bool)
+    return (jnp.concatenate([un, u2[window:]]),
+            jnp.concatenate([vn, v2[window:]]),
+            jnp.concatenate([ok, pad_ok]))
+
+
 def _fit_matrix() -> np.ndarray:
     """(A^T A)^-1 A^T for the 9-point paraboloid LS fit (matcher.cpp:1508-1519)."""
     rows = []
@@ -150,15 +168,17 @@ def parabolic_fitting(
     du1, dv1, du2, dv2,
     u1, v1, u2, v2,
     w2: jnp.ndarray, h2: jnp.ndarray,
+    ref=None,
 ):
     """Vectorized parabolicFitting. Returns (u2', v2', ok).
 
     ok=False matches must be dropped (matcher.cpp:1546-1548). Out-of-margin
-    targets fail outright (matcher.cpp:1388-1389)."""
+    targets fail outright (matcher.cpp:1388-1389). `ref` optionally supplies
+    precomputed small_ref_descriptors(du1, dv1, u1, v1)."""
     m = jnp.float32(MARGIN)
     feasible = ((u2 - 3 >= m) & (u2 + 3 <= w2 - 1 - m) &
                 (v2 - 3 >= m) & (v2 + 3 <= h2 - 1 - m))
-    cost = _cost_surface(du1, dv1, du2, dv2, u1, v1, u2, v2, 3)  # [M,7,7]
+    cost = _cost_surface(du1, dv1, du2, dv2, u1, v1, u2, v2, 3, ref)  # [M,7,7]
     M = cost.shape[0]
     flat = cost.reshape(M, 49)
     best = jnp.argmin(flat, axis=1).astype(jnp.int32)

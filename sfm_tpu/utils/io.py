@@ -33,15 +33,19 @@ def _decode(path: str) -> np.ndarray:
 
 
 class ImageSequenceLoader:
-    """Indexed access to <dir>/<prefix><index:0Nd>.png grayscale frames."""
+    """Indexed access to <dir>/<prefix><index:0Nd>[suffix].png grayscale
+    frames. `suffix` (e.g. "_l"/"_r") selects one camera of a stereo pair
+    stored side by side in the same directory."""
 
     PATTERNS = ("{:04d}.png", "{:06d}.png", "{:06d}.pgm", "{:04d}.pgm",
                 "{:010d}.png")
 
-    def __init__(self, directory: str):
+    def __init__(self, directory: str, suffix: str = ""):
         self.dir = directory
         self.pattern = None
-        for pat in self.PATTERNS:
+        for base in self.PATTERNS:
+            stem, ext = base.rsplit(".", 1)
+            pat = f"{stem}{suffix}.{ext}"
             if os.path.exists(os.path.join(directory, pat.format(0))):
                 self.pattern = pat
                 break

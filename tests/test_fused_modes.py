@@ -1,0 +1,117 @@
+"""Fused-pipeline reference-surface options (VERDICT round-1 item 4):
+subpixel refinement (refinement=2), gain estimation, and the
+pure_callback-fused Delaunay outlier mode — all inside the single-dispatch
+frame step (matcher.cpp:1379-1454 parabolicFitting, :286-324 getGain,
+:1207-1377 removeOutliers)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sfm_tpu.config import (Bucketing, Calibration, EngineConfig,
+                            StereoParams, replace)
+from sfm_tpu.models.matcher import detect_features
+from sfm_tpu.models.pipeline import make_stereo_frame_step
+from sfm_tpu.utils.synthetic import SceneConfig, make_sequence
+
+W, H = 320, 160
+CAL = Calibration(f=166.0, cu=160.0, cv=80.0)
+SCENE = SceneConfig(width=W, height=H, f=166.0, cu=160.0, cv=80.0,
+                    wall_dist=6.0)
+BASE = 0.5
+
+
+def _mk_engine(**kw):
+    return EngineConfig(max_features_dense=1024, max_features_sparse=256,
+                        max_matches=1024, refine_window=512, **kw)
+
+
+def _run_seq(step, left, right, engine, params, n=4):
+    p = params.match
+    det = lambda img: detect_features(
+        jnp.asarray(img), w=W, h=H, nms_n=p.nms_n, nms_tau=p.nms_tau,
+        multi_stage=p.multi_stage, half_resolution=p.half_resolution,
+        cap_sparse=engine.max_features_sparse,
+        cap_dense=engine.max_features_dense)
+    pl_, pr_ = det(left[0]), det(right[0])
+    key = jax.random.PRNGKey(0)
+    trp = jnp.eye(4, dtype=jnp.float32)
+    out = []
+    for i in range(1, n):
+        key, k = jax.random.split(key)
+        pl_, pr_, m, res = step(pl_, pr_, jnp.asarray(left[i]),
+                                jnp.asarray(right[i]), trp, k)
+        out.append(res)
+    return out
+
+
+def test_fused_subpixel_refinement():
+    left, right, poses = make_sequence(4, SCENE, step=0.5, baseline=BASE)
+    params = StereoParams(calib=CAL, base=BASE,
+                          bucket=Bucketing(max_features=1000))
+    params = replace(params, match=replace(params.match, refinement=2))
+    engine = _mk_engine(outlier_mode="grid")
+    step = make_stereo_frame_step(W, H, params, engine)
+    results = _run_seq(step, left, right, engine, params)
+    for i, res in enumerate(results, 1):
+        assert bool(res.success), i
+        gt = poses[i] @ np.linalg.inv(poses[i - 1])
+        from sfm_tpu.ops.se3 import transformation_vector_to_matrix
+
+        est = np.asarray(transformation_vector_to_matrix(res.tr))
+        assert np.linalg.norm(est[:3, 3] - gt[:3, 3]) < 0.08, (i, est[:3, 3])
+
+
+def test_fused_delaunay_callback_mode():
+    left, right, poses = make_sequence(4, SCENE, step=0.5, baseline=BASE)
+    params = StereoParams(calib=CAL, base=BASE,
+                          bucket=Bucketing(max_features=1000))
+    engine = _mk_engine(outlier_mode="delaunay")
+    step = make_stereo_frame_step(W, H, params, engine)
+    results = _run_seq(step, left, right, engine, params)
+    for i, res in enumerate(results, 1):
+        assert bool(res.success), i
+        gt = poses[i] @ np.linalg.inv(poses[i - 1])
+        from sfm_tpu.ops.se3 import transformation_vector_to_matrix
+
+        est = np.asarray(transformation_vector_to_matrix(res.tr))
+        assert np.linalg.norm(est[:3, 3] - gt[:3, 3]) < 0.08, (i, est[:3, 3])
+        assert int(res.n_matches) > 100
+
+
+def test_staged_delaunay_step_matches_callback_mode():
+    """The 3-stage host-Delaunay pipeline (for runtimes without
+    pure_callback) must produce the same result as the callback-fused
+    Delaunay mode."""
+    from sfm_tpu.models.pipeline import make_stereo_frame_step_staged
+
+    left, right, poses = make_sequence(3, SCENE, step=0.5, baseline=BASE)
+    params = StereoParams(calib=CAL, base=BASE,
+                          bucket=Bucketing(max_features=1000))
+    engine = _mk_engine(outlier_mode="delaunay")
+    fused = make_stereo_frame_step(W, H, params, engine)
+    staged = make_stereo_frame_step_staged(W, H, params, engine)
+    r_fused = _run_seq(fused, left, right, engine, params, n=3)
+    r_staged = _run_seq(staged, left, right, engine, params, n=3)
+    for rf, rs in zip(r_fused, r_staged):
+        assert bool(rf.success) and bool(rs.success)
+        assert int(rf.n_matches) == int(rs.n_matches)
+        np.testing.assert_allclose(np.asarray(rf.tr), np.asarray(rs.tr),
+                                   atol=1e-5)
+
+
+def test_fused_gain_estimation():
+    left, right, poses = make_sequence(3, SCENE, step=0.3, baseline=BASE)
+    # simulate a camera gain change on the second frame
+    g = 1.15
+    left2 = [left[0], np.clip(left[1].astype(np.float32) * g, 0, 255
+                              ).astype(np.uint8)]
+    right2 = [right[0], np.clip(right[1].astype(np.float32) * g, 0, 255
+                                ).astype(np.uint8)]
+    params = StereoParams(calib=CAL, base=BASE,
+                          bucket=Bucketing(max_features=1000))
+    engine = _mk_engine(outlier_mode="grid", compute_gain=True)
+    step = make_stereo_frame_step(W, H, params, engine)
+    results = _run_seq(step, left2, right2, engine, params, n=2)
+    gain = float(results[0].gain)
+    assert abs(gain - g) < 0.05, gain
