@@ -47,6 +47,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write a self-contained interactive WebGL viewer "
                         "(orbit camera + stereo mode, the reference's -g "
                         "GUI equivalent)")
+    p.add_argument("--live-viewer", nargs="?", type=int, const=0,
+                   default=None, metavar="PORT",
+                   help="serve a live-updating WebGL viewer on localhost "
+                        "while processing (the reference's per-frame GUI "
+                        "thread, gui.cc:17-131; PORT omitted = auto)")
     p.add_argument("--poses-out", default="",
                    help="write per-frame 3x4 poses (KITTI format)")
     p.add_argument("--stats-json", default="",
@@ -81,6 +86,14 @@ def main(argv=None) -> int:
     sfm = StructureFromMotion(params, dims=video.get_dims(), verbose=True,
                               stereo_params=stereo_params)
 
+    if args.live_viewer is not None:
+        from .utils.html_viewer import LiveViewer
+        viewer = LiveViewer(port=args.live_viewer)
+        print(f"Live viewer: {viewer.url}")
+    else:
+        from .utils.html_viewer import NullViewer
+        viewer = NullViewer()
+
     poses = []
     timer = StartTimer("Total time", verbose=False)
     if args.stereo:
@@ -89,12 +102,15 @@ def main(argv=None) -> int:
             print(f"Processing: Frame: {i}")
             sfm.update(img, next(frames_r))
             poses.append(sfm.get_pose().copy())
+            viewer.update(sfm.get_points(), sfm.get_pose())
     else:
         for i, img in enumerate(video.prefetch(n)):
             print(f"Processing: Frame: {i}")
             sfm.update(img)
             poses.append(sfm.get_pose().copy())
+            viewer.update(sfm.get_points(), sfm.get_pose())
     total = timer.end()
+    viewer.close()
     fps = n / total
     print(f"FPS: {fps}")
 

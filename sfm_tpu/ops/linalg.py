@@ -193,16 +193,6 @@ def det3(M: jnp.ndarray) -> jnp.ndarray:
             + M[..., 0, 2] * (M[..., 1, 0] * M[..., 2, 1] - M[..., 1, 1] * M[..., 2, 0]))
 
 
-def solve_psd(A: jnp.ndarray, b: jnp.ndarray):
-    """Solve A x = b for small SPD-ish A with failure detection.
-
-    Returns (x, ok). Stands in for the reference's Gauss-Jordan full-pivot
-    solve whose tiny-pivot check signals FAILED (matrix.cpp:424-512)."""
-    x = jnp.linalg.solve(A, b)
-    ok = jnp.all(jnp.isfinite(x), axis=tuple(range(-b.ndim + A.ndim - 2, 0)) or (-1,))
-    return x, ok
-
-
 def masked_median(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     """median = sorted(x[mask])[count // 2] (viso_mono.cpp:192-207 picks the
     element at index n/2 of the ascending order)."""

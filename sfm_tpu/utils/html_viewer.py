@@ -1,24 +1,30 @@
-"""Interactive point-cloud viewer export (GUI parity).
+"""Interactive point-cloud viewer (GUI parity).
 
 The reference renders its map in an SFML/OpenGL window with a mouse orbit
 camera and optional side-by-side stereo with adjustable eye separation
 (demo/gui.cc:17-223: drag to orbit, S toggles stereo, E/D adjust
-separation). A TPU pod has no display, so the equivalent here is a fully
-self-contained WebGL page — no external assets, works offline — written
-next to the PLY export:
+separation). A TPU pod has no display, so the equivalents here are:
 
-  * drag = orbit, wheel = dolly (gui.cc:193-223 camera),
-  * S toggles side-by-side stereo, E/D change eye separation
-    (gui.cc:68-114, 175-183),
-  * axes overlay like the reference's drawAxes.
+  * ``export_html`` — a fully self-contained WebGL page (no external
+    assets, works offline) written next to the PLY export; points embedded
+    as a base64 Float32 buffer.
+  * ``LiveViewer`` — the live-rendering equivalent of the reference GUI
+    thread (gui.cc:17-131: viewer thread + mutex-guarded point buffer):
+    a daemon-thread HTTP server on localhost; the processing loop calls
+    ``update(points)`` per frame (cheap copy under a lock, like
+    PointCloudViewer::update gui.cc:121-126) and any browser pointed at
+    the URL re-fetches the buffer twice a second.
+  * ``NullViewer`` — no-op stand-in (gui.hh:15-24's Null viewer for
+    headless builds).
 
-Points are embedded as a base64 Float32 buffer.
+Both pages: drag = orbit, wheel = dolly, S toggles side-by-side stereo,
+E/D change eye separation, axes overlay like the reference's drawAxes.
 """
 
 from __future__ import annotations
 
 import base64
-import json
+import threading
 
 import numpy as np
 
@@ -31,18 +37,12 @@ _PAGE = """<!doctype html>
  canvas{display:block;width:100vw;height:100vh}
 </style></head><body>
 <div id="hud">sfm_tpu viewer — drag: orbit · wheel: dolly · S: stereo ·
-E/D: eye separation · %%NPTS%% points</div>
+E/D: eye separation · <span id="npts">%%NPTS%% points</span></div>
 <canvas id="c"></canvas>
 <script>
 "use strict";
-const PTS = (() => {
-  const raw = atob("%%DATA%%");
-  const buf = new ArrayBuffer(raw.length);
-  const u8 = new Uint8Array(buf);
-  for (let i = 0; i < raw.length; i++) u8[i] = raw.charCodeAt(i);
-  return new Float32Array(buf);
-})();
-const N = PTS.length / 3;
+let N = 0;
+let CEN = [%%CX%%, %%CY%%, %%CZ%%];
 
 const canvas = document.getElementById("c");
 const gl = canvas.getContext("webgl");
@@ -60,13 +60,17 @@ gl.attachShader(prog, sh(gl.VERTEX_SHADER, vsrc));
 gl.attachShader(prog, sh(gl.FRAGMENT_SHADER, fsrc));
 gl.linkProgram(prog); gl.useProgram(prog);
 const vbo = gl.createBuffer();
-gl.bindBuffer(gl.ARRAY_BUFFER, vbo);
-gl.bufferData(gl.ARRAY_BUFFER, PTS, gl.STATIC_DRAW);
 const loc = gl.getAttribLocation(prog, "p");
 gl.enableVertexAttribArray(loc);
-gl.vertexAttribPointer(loc, 3, gl.FLOAT, false, 0, 0);
 const uMvp = gl.getUniformLocation(prog, "mvp");
 const uPsize = gl.getUniformLocation(prog, "psize");
+
+function setPoints(f32){
+  N = f32.length / 3;
+  gl.bindBuffer(gl.ARRAY_BUFFER, vbo);
+  gl.bufferData(gl.ARRAY_BUFFER, f32, gl.DYNAMIC_DRAW);
+  document.getElementById("npts").textContent = N + " points";
+}
 
 // axes overlay (reference drawAxes)
 const axes = new Float32Array([0,0,0, 3,0,0, 0,0,0, 0,3,0, 0,0,0, 0,0,3]);
@@ -93,7 +97,7 @@ function mat(eyeOff, aspect){
   const cy = Math.cos(yaw), sy = Math.sin(yaw);
   const ce = Math.cos(elev), se = Math.sin(elev);
   // camera position orbiting the centroid
-  const cx = %%CX%%, cz = %%CZ%%, cyc = %%CY%%;
+  const cx = CEN[0], cyc = CEN[1], cz = CEN[2];
   const ex = cx + dist*sy*ce + eyeOff*cy, ey = cyc - dist*se,
         ez = cz - dist*cy*ce + eyeOff*sy;
   // look-at
@@ -137,24 +141,127 @@ function draw(){
   }
   requestAnimationFrame(draw);
 }
+%%LOADER%%
 draw();
 </script></body></html>
 """
+
+# static page: points embedded as base64 (works from file://, webgl marker
+# string kept lowercase for grep-ability)
+_STATIC_LOADER = """
+setPoints((() => {
+  const raw = atob("%%DATA%%");
+  const buf = new ArrayBuffer(raw.length);
+  const u8 = new Uint8Array(buf);
+  for (let i = 0; i < raw.length; i++) u8[i] = raw.charCodeAt(i);
+  return new Float32Array(buf);
+})());
+"""
+
+# live page: poll the buffer from the embedded HTTP server
+_LIVE_LOADER = """
+async function poll(){
+  try {
+    const r = await fetch("points.bin", {cache: "no-store"});
+    const buf = await r.arrayBuffer();
+    const f32 = new Float32Array(buf);
+    if (f32.length >= 3) {
+      let sx=0, sy=0, sz=0;
+      for (let i = 0; i < f32.length; i += 3){ sx+=f32[i]; sy+=f32[i+1]; sz+=f32[i+2]; }
+      CEN = [sx/(f32.length/3), sy/(f32.length/3), sz/(f32.length/3)];
+    }
+    setPoints(f32);
+  } catch (e) {}
+  setTimeout(poll, 500);
+}
+poll();
+"""
+
+
+def _render(loader: str, npts, cx, cy, cz) -> str:
+    return (_PAGE
+            .replace("%%LOADER%%", loader)
+            .replace("%%NPTS%%", str(npts))
+            .replace("%%CX%%", f"{cx:.3f}")
+            .replace("%%CY%%", f"{cy:.3f}")
+            .replace("%%CZ%%", f"{cz:.3f}"))
 
 
 def export_html(points: np.ndarray, path: str) -> None:
     """Write a self-contained interactive WebGL viewer for an [N, 3] cloud."""
     pts = np.asarray(points, np.float32).reshape(-1, 3)
     data = base64.b64encode(pts.tobytes()).decode("ascii")
-    if len(pts):
-        c = np.median(pts, axis=0)
-    else:
-        c = np.zeros(3)
-    page = (_PAGE
-            .replace("%%DATA%%", data)
-            .replace("%%NPTS%%", str(len(pts)))
-            .replace("%%CX%%", f"{c[0]:.3f}")
-            .replace("%%CY%%", f"{c[1]:.3f}")
-            .replace("%%CZ%%", f"{c[2]:.3f}"))
+    c = np.median(pts, axis=0) if len(pts) else np.zeros(3)
+    loader = _STATIC_LOADER.replace("%%DATA%%", data)
     with open(path, "w") as f:
-        f.write(page)
+        f.write(_render(loader, len(pts), c[0], c[1], c[2]))
+
+
+class NullViewer:
+    """Headless no-op viewer (gui.hh:15-24)."""
+
+    url = None
+
+    def update(self, points, pose=None) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+
+class LiveViewer:
+    """Per-frame live point-cloud viewer over HTTP.
+
+    Equivalent of the reference PointCloudViewer thread (gui.cc:17-131):
+    the caller's processing loop calls ``update(points)`` each frame —
+    a copy under a mutex, never blocking on rendering — while a daemon
+    HTTP server serves the viewer page and the current buffer at
+    ``self.url``. ``close()`` shuts the server down.
+    """
+
+    def __init__(self, port: int = 0, host: str = "127.0.0.1"):
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        viewer = self
+        self._lock = threading.Lock()
+        self._buf = b""
+        self._n = 0
+
+        class Handler(BaseHTTPRequestHandler):
+            def do_GET(self):  # noqa: N802 (http.server API)
+                if self.path.split("?")[0] == "/points.bin":
+                    with viewer._lock:
+                        body = viewer._buf
+                    ctype = "application/octet-stream"
+                else:
+                    body = _render(_LIVE_LOADER, 0, 0, 0, 10).encode()
+                    ctype = "text/html; charset=utf-8"
+                self.send_response(200)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *a):  # silence request logging
+                pass
+
+        self._server = ThreadingHTTPServer((host, port), Handler)
+        self.url = f"http://{host}:{self._server.server_address[1]}/"
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, daemon=True,
+            name="sfm-live-viewer")
+        self._thread.start()
+
+    def update(self, points, pose=None) -> None:
+        """Publish the current cloud (PointCloudViewer::update,
+        gui.cc:121-126). `pose` accepted for interface symmetry."""
+        pts = np.ascontiguousarray(
+            np.asarray(points, np.float32).reshape(-1, 3))
+        with self._lock:
+            self._buf = pts.tobytes()
+            self._n = len(pts)
+
+    def close(self) -> None:
+        self._server.shutdown()
+        self._server.server_close()
+        self._thread.join(timeout=5)

@@ -88,6 +88,50 @@ class TestViz:
         assert os.path.getsize(out2) > 1000
 
 
+class TestMatchViz:
+    def test_plot_match_methods(self, tmp_path, rng):
+        from sfm_tpu.utils.viz import plot_match
+
+        img = (rng.rand(60, 100) * 255).astype(np.uint8)
+        # [N,8] rows: u1p v1p u1c v1c u2p v2p u2c v2c
+        p = rng.rand(20, 8).astype(np.float32) * ([99, 59] * 4)
+        inl = rng.rand(20) > 0.3
+        for method in (0, 1, 2):
+            out = str(tmp_path / f"m{method}.png")
+            plot_match(img, p, out, method=method, inliers=inl)
+            assert os.path.getsize(out) > 1000
+
+    def test_build_tracks_chains_indices(self):
+        from sfm_tpu.utils.viz import build_tracks
+
+        # 2 frames-of-matches; feature 5 in frame0's current == frame1's
+        # previous -> one chained 3-point track; feature 8 has no backward
+        # continuation, so its track spans a single match and is dropped
+        # (plotTrack.m:31-33 skips track_length < 2)
+        p0 = np.array([[10.0, 10, 12, 11], [50, 20, 53, 22]])
+        i0 = np.array([[3, 5], [7, 9]])
+        p1 = np.array([[12.0, 11, 14, 12], [53, 22, 57, 25]])
+        i1 = np.array([[5, 6], [8, 2]])
+        tracks = build_tracks([p0, p1], [i0, i1], min_motion=0.0)
+        assert len(tracks) == 1
+        full = tracks[0]
+        assert len(full) == 3
+        np.testing.assert_allclose(full[-1], [10.0, 10])  # oldest point
+        np.testing.assert_allclose(full[0], [14.0, 12])   # newest point
+
+    def test_plot_track_png(self, tmp_path, rng):
+        from sfm_tpu.utils.viz import plot_track
+
+        img = (rng.rand(60, 100) * 255).astype(np.uint8)
+        p0 = np.array([[10.0, 10, 22, 11]])
+        i0 = np.array([[3, 5]])
+        p1 = np.array([[22.0, 11, 34, 12]])
+        i1 = np.array([[5, 6]])
+        out = str(tmp_path / "t.png")
+        n = plot_track(img, [p0, p1], [i0, i1], out, min_motion=4.0)
+        assert n == 1 and os.path.getsize(out) > 1000
+
+
 class TestPly:
     def test_export(self, tmp_path):
         from sfm_tpu.utils.ply import export_ply
@@ -110,6 +154,30 @@ class TestProfiling:
         assert len(info) >= 1 and info[0]["platform"] == "cpu"
         cost = compiled_cost(lambda x: x @ x, jnp.ones((64, 64)))
         assert isinstance(cost, dict)
+
+
+def test_live_viewer_serves_updates():
+    from urllib.request import urlopen
+
+    from sfm_tpu.utils.html_viewer import LiveViewer, NullViewer
+
+    v = LiveViewer()
+    try:
+        page = urlopen(v.url, timeout=5).read().decode()
+        assert "webgl" in page and "points.bin" in page
+        pts = np.arange(9, dtype=np.float32).reshape(3, 3)
+        v.update(pts)
+        body = urlopen(v.url + "points.bin", timeout=5).read()
+        np.testing.assert_array_equal(
+            np.frombuffer(body, np.float32).reshape(3, 3), pts)
+        v.update(np.zeros((5, 3)))  # live re-publish
+        body = urlopen(v.url + "points.bin", timeout=5).read()
+        assert len(body) == 5 * 3 * 4
+    finally:
+        v.close()
+    nv = NullViewer()  # headless stand-in: every call is a no-op
+    nv.update(np.zeros((2, 3)))
+    nv.close()
 
 
 def test_html_viewer_export(tmp_path):
