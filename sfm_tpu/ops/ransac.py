@@ -20,19 +20,31 @@ from .linalg import rank2_project, smallest_right_singular_vector
 
 
 def draw_samples(key, valid: jnp.ndarray, iters: int, k: int) -> jnp.ndarray:
-    """[iters, k] distinct indices of valid entries (replaces the fixed-seed
-    Fisher-Yates prefix of viso.cpp:86-102 with a counter-based PRNG).
+    """[iters, k] distinct uniform indices of valid entries (replaces the
+    fixed-seed Fisher-Yates prefix of viso.cpp:86-102 with a counter-based
+    PRNG, same uniform-k-subset distribution).
 
     PRECONDITION: valid entries form a prefix (all match tables are
-    compacted). Uses the sorted-offsets trick — k uniforms in [0, count-k)
-    sorted and offset by their rank give k distinct indices — instead of a
-    top_k over [iters, n], whose sort lowering dominated the RANSAC cost."""
+    compacted). Sequential sampling without replacement, vectorized over the
+    hypothesis axis: draw r_j uniform in [0, count-j), then bump r_j past
+    each previously chosen index in ascending order — exactly uniform over
+    distinct k-subsets, and O(iters * k^2) elementwise work (k <= 8), far
+    cheaper than a top_k over [iters, n]. If count < k (callers gate on
+    >= 10 matches, viso_mono.cpp:103), indices clip into [0, count-1] and
+    duplicates are unavoidable."""
     count = jnp.sum(valid.astype(jnp.int32))
-    span = jnp.maximum(count - k, 1).astype(jnp.float32)
-    u = jax.random.uniform(key, (iters, k)) * span
-    base = jnp.sort(u.astype(jnp.int32), axis=1)
-    idx = base + jnp.arange(k, dtype=jnp.int32)[None, :]
-    return jnp.clip(idx, 0, jnp.maximum(count - 1, 0))
+    u = jax.random.uniform(key, (iters, k))
+    chosen = jnp.zeros((iters, k), jnp.int32)
+    for j in range(k):
+        span = jnp.maximum(count - j, 1).astype(jnp.float32)
+        r = jnp.minimum((u[:, j] * span).astype(jnp.int32),
+                        jnp.maximum(count - j - 1, 0))
+        if j:
+            prev = jnp.sort(chosen[:, :j], axis=1)
+            for t in range(j):
+                r = r + (r >= prev[:, t]).astype(jnp.int32)
+        chosen = chosen.at[:, j].set(r)
+    return jnp.clip(chosen, 0, jnp.maximum(count - 1, 0))
 
 
 def fundamental_from_samples(u1p, v1p, u1c, v1c, sample_idx) -> jnp.ndarray:

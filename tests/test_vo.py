@@ -17,6 +17,36 @@ ENGINE = EngineConfig(max_features_dense=1024, max_features_sparse=256,
                       max_matches=1024)
 
 
+class TestDrawSamples:
+    def test_distinct_and_uniform(self):
+        import jax
+        import jax.numpy as jnp
+
+        from sfm_tpu.ops.ransac import draw_samples
+
+        n, count, k, iters = 64, 20, 8, 20000
+        valid = jnp.arange(n) < count
+        idx = np.asarray(draw_samples(jax.random.PRNGKey(3), valid, iters, k))
+        # all indices in the valid prefix
+        assert idx.min() >= 0 and idx.max() == count - 1
+        # distinct within every sample
+        assert all(len(set(row)) == k for row in idx)
+        # per-index inclusion frequency uniform at k/count (binomial std
+        # ~0.35% here; 4 sigma)
+        freq = np.bincount(idx.ravel(), minlength=count) / iters
+        np.testing.assert_allclose(freq, k / count, atol=0.015)
+
+    def test_degenerate_count_below_k(self):
+        import jax
+        import jax.numpy as jnp
+
+        from sfm_tpu.ops.ransac import draw_samples
+
+        valid = jnp.arange(16) < 3  # count=3 < k=8
+        idx = np.asarray(draw_samples(jax.random.PRNGKey(0), valid, 50, 8))
+        assert idx.min() >= 0 and idx.max() <= 2  # stays in the valid prefix
+
+
 class TestMonoVO:
     def test_synthetic_forward_motion(self):
         from sfm_tpu.models.mono import VisualOdometryMono
