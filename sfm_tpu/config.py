@@ -123,8 +123,15 @@ class EngineConfig:
                                      # pipeline refines post-bucketing where
                                      # counts are below this)
     # outlier removal implementation: "delaunay" (host callback, reference-
-    # faithful, matcher.cpp:1207-1377) or "grid" (TPU-resident approximation)
+    # faithful, matcher.cpp:1207-1377), "knn" (TPU-resident k-nearest-
+    # neighbor vote — the on-device Delaunay analog), or "grid" (TPU-resident
+    # radius-disc vote)
     outlier_mode: str = "delaunay"
+    outlier_knn_k: int = 8           # neighbors per match in "knn" mode
+    outlier_min_support: int = 4     # votes to survive ("knn"/"grid";
+                                     # reference Delaunay uses 4 with interior
+                                     # edges double-counted)
+    outlier_grid_radius: float = 80.0  # neighbor disc radius in "grid" mode
     # compute the frame-to-frame camera gain ratio in the fused pipeline
     # (matcher.cpp:286-324 getGain; the class path exposes get_gain() instead)
     compute_gain: bool = False

@@ -34,7 +34,8 @@ from ..ops.matching import (
     sad_argmin,
 )
 from ..ops.nms import MARGIN, FeatureSet, nms_features, sparse_nms_n
-from ..ops.outliers import delaunay_support_mask, grid_consistency_mask
+from ..ops.outliers import (delaunay_support_mask, grid_consistency_mask,
+                            knn_consistency_mask)
 from ..ops.refine import parabolic_fitting, relocate_minimum
 
 
@@ -397,13 +398,24 @@ class Matcher:
 
     # -- outlier removal ----------------------------------------------------
     def _remove_outliers(self, m: Matches, method: int) -> Matches:
-        if self.e.outlier_mode == "grid":
+        if self.e.outlier_mode in ("grid", "knn", "knnw"):
             flow_u, flow_v = m.u1c - m.u1p, m.v1c - m.v1p
             disp = (m.u1c - m.u2c) if method == 1 else (m.u1p - m.u2p)
-            keep = grid_consistency_mask(
-                m.u1c, m.v1c, m.valid, flow_u, flow_v, disp, method,
-                float(self.p.outlier_flow_tolerance),
-                float(self.p.outlier_disp_tolerance))
+            if self.e.outlier_mode in ("knn", "knnw"):
+                keep = knn_consistency_mask(
+                    m.u1c, m.v1c, m.valid, flow_u, flow_v, disp, method,
+                    float(self.p.outlier_flow_tolerance),
+                    float(self.p.outlier_disp_tolerance),
+                    k=self.e.outlier_knn_k,
+                    min_support=self.e.outlier_min_support,
+                    weighted=(self.e.outlier_mode == "knnw"))
+            else:
+                keep = grid_consistency_mask(
+                    m.u1c, m.v1c, m.valid, flow_u, flow_v, disp, method,
+                    float(self.p.outlier_flow_tolerance),
+                    float(self.p.outlier_disp_tolerance),
+                    radius=self.e.outlier_grid_radius,
+                    min_support=self.e.outlier_min_support)
             return _compact_with_mask(m, keep)
         u1c = np.asarray(m.u1c)
         v1c = np.asarray(m.v1c)

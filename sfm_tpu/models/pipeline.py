@@ -33,7 +33,8 @@ from ..config import EngineConfig, MonoParams, StereoParams
 from ..ops.matching import (Matches, bucket_matches, compact_matches,
                             compute_prior_statistics)
 from ..ops.nms import FeatureSet
-from ..ops.outliers import delaunay_mask_callback, grid_consistency_mask
+from ..ops.outliers import (delaunay_mask_callback, grid_consistency_mask,
+                            knn_consistency_mask)
 from ..ops.refine import (parabolic_fitting_prefix, relocate_minimum_prefix,
                           small_ref_descriptors)
 from .matcher import FrameFeatures, detect_features, match_flow, match_quad, match_stereo
@@ -43,19 +44,29 @@ from .stereo import StereoResult, stereo_estimate_motion
 
 
 def _outliers(m: Matches, method: int, flow_tol: float, disp_tol: float,
-              cap: int, mode: str = "grid") -> Matches:
-    """Outlier filtering inside the fused step: "grid" = on-device radius
-    support (default for DP/sharded use), "delaunay" = reference-faithful
-    host callback (matcher.cpp:1207-1377 via pure_callback — stays one
-    dispatch per frame, two host round-trips)."""
+              cap: int, mode: str = "grid",
+              engine: EngineConfig = None) -> Matches:
+    """Outlier filtering inside the fused step: "knn" = on-device kNN-graph
+    voting (Delaunay analog, default winner config), "grid" = on-device
+    radius-disc support, "delaunay" = reference-faithful host callback
+    (matcher.cpp:1207-1377 via pure_callback — stays one dispatch per frame,
+    two host round-trips)."""
+    e = engine or EngineConfig()
     flow_u, flow_v = m.u1c - m.u1p, m.v1c - m.v1p
     disp = (m.u1c - m.u2c) if method == 1 else (m.u1p - m.u2p)
     if mode == "delaunay":
         keep = delaunay_mask_callback(m.u1c, m.v1c, m.valid, flow_u, flow_v,
                                       disp, method, flow_tol, disp_tol)
+    elif mode in ("knn", "knnw"):
+        keep = knn_consistency_mask(
+            m.u1c, m.v1c, m.valid, flow_u, flow_v, disp, method, flow_tol,
+            disp_tol, k=e.outlier_knn_k, min_support=e.outlier_min_support,
+            weighted=(mode == "knnw"))
     else:
-        keep = grid_consistency_mask(m.u1c, m.v1c, m.valid, flow_u, flow_v,
-                                     disp, method, flow_tol, disp_tol)
+        keep = grid_consistency_mask(
+            m.u1c, m.v1c, m.valid, flow_u, flow_v, disp, method, flow_tol,
+            disp_tol, radius=e.outlier_grid_radius,
+            min_support=e.outlier_min_support)
     return compact_matches(m._replace(valid=keep), cap)
 
 
@@ -101,13 +112,15 @@ def _make_mono_step_core(w: int, h: int, params: MonoParams,
 
         m1 = match_flow(prev.sparse, cur.sparse, None, use_rt=False, **kw)
         m1 = _outliers(m1, 0, p.outlier_flow_tolerance,
-                       p.outlier_disp_tolerance, engine.max_matches, mode)
+                       p.outlier_disp_tolerance, engine.max_matches, mode,
+                       engine)
         rt = compute_prior_statistics(
             m1, method=0, n_bins_u=nbu, n_bins_v=nbv,
             binsize=p.match_binsize, match_radius=float(radius))
         m2 = match_flow(prev.dense, cur.dense, rt, use_rt=True, **kw)
         m2 = _outliers(m2, 0, p.outlier_flow_tolerance,
-                       p.outlier_disp_tolerance, engine.max_matches, mode)
+                       p.outlier_disp_tolerance, engine.max_matches, mode,
+                       engine)
         m2 = bucket_matches(m2, k_bucket, params.bucket.max_features,
                             params.bucket.bucket_width,
                             params.bucket.bucket_height, engine.max_matches)
@@ -507,14 +520,16 @@ def _make_stereo_step_core(w: int, h: int, params: StereoParams,
                         cur_r.sparse, None, tr_prior, calib4,
                         use_rt=False, use_tr=True, **kw)
         m1 = _outliers(m1, 2, p.outlier_flow_tolerance,
-                       p.outlier_disp_tolerance, engine.max_matches, mode)
+                       p.outlier_disp_tolerance, engine.max_matches, mode,
+                       engine)
         rt = compute_prior_statistics(
             m1, method=2, n_bins_u=nbu, n_bins_v=nbv,
             binsize=p.match_binsize, match_radius=float(radius))
         m2 = match_quad(prev_l.dense, prev_r.dense, cur_l.dense, cur_r.dense,
                         rt, tr_prior, calib4, use_rt=True, use_tr=True, **kw)
         m2 = _outliers(m2, 2, p.outlier_flow_tolerance,
-                       p.outlier_disp_tolerance, engine.max_matches, mode)
+                       p.outlier_disp_tolerance, engine.max_matches, mode,
+                       engine)
         m2 = bucket_matches(m2, k_bucket, params.bucket.max_features,
                             params.bucket.bucket_width,
                             params.bucket.bucket_height, engine.max_matches)

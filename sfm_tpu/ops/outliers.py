@@ -109,7 +109,21 @@ def delaunay_mask_callback(
         u1c, v1c, valid, flow_u, flow_v, disp, vmap_method="sequential")
 
 
-@functools.partial(jax.jit, static_argnames=("method",))
+def _pairwise_agreement(flow_u, flow_v, disp, method, flow_tol, disp_tol):
+    """[N, N] bool: matches i, j agree on flow/disparity within tolerance —
+    the edge-consistency predicate of matcher.cpp:1280-1359 applied to every
+    pair (the graph that selects WHICH pairs vote differs per filter)."""
+    fok = (jnp.abs(flow_u[:, None] - flow_u[None, :])
+           + jnp.abs(flow_v[:, None] - flow_v[None, :])) < flow_tol
+    dok = jnp.abs(disp[:, None] - disp[None, :]) < disp_tol
+    if method == 0:
+        return fok
+    if method == 1:
+        return dok
+    return fok & dok
+
+
+@functools.partial(jax.jit, static_argnames=("method", "min_support"))
 def grid_consistency_mask(
     u1c: jnp.ndarray,
     v1c: jnp.ndarray,
@@ -144,19 +158,73 @@ def grid_consistency_mask(
     du = u1c[:, None] - u1c[None, :]
     dv = v1c[:, None] - v1c[None, :]
     near = (du * du + dv * dv) < radius * radius
-    fok = (jnp.abs(flow_u[:, None] - flow_u[None, :])
-           + jnp.abs(flow_v[:, None] - flow_v[None, :])) < flow_tol
-    dok = jnp.abs(disp[:, None] - disp[None, :]) < disp_tol
-    if method == 0:
-        agree = fok
-    elif method == 1:
-        agree = dok
-    else:
-        agree = fok & dok
+    agree = _pairwise_agreement(flow_u, flow_v, disp, method, flow_tol,
+                                disp_tol)
     n = u1c.shape[0]
     ar = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
     ac = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
     support = jnp.sum(
         (near & agree & valid[None, :] & (ar != ac)).astype(jnp.float32),
         axis=1)
+    return valid & (support >= min_support)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("method", "k", "min_support", "weighted"))
+def knn_consistency_mask(
+    u1c: jnp.ndarray,
+    v1c: jnp.ndarray,
+    valid: jnp.ndarray,
+    flow_u: jnp.ndarray,
+    flow_v: jnp.ndarray,
+    disp: jnp.ndarray,
+    method: int,
+    flow_tol: float,
+    disp_tol: float,
+    k: int = 8,
+    min_support: int = 4,
+    weighted: bool = False,
+) -> jnp.ndarray:
+    """On-device k-nearest-neighbor analog of the reference's Delaunay edge
+    voting (matcher.cpp:1207-1377).
+
+    The Delaunay graph connects each match to its ~6 Voronoi neighbors; an
+    edge whose endpoints agree on flow/disparity gives both endpoints a vote
+    (interior edges are visited once per adjacent triangle, i.e. counted
+    twice), and matches with >= 4 votes survive. The symmetrized kNN graph
+    (i-j is an edge iff j in kNN(i) or i in kNN(j)) is a close proxy for the
+    Voronoi adjacency: like Delaunay — and unlike a fixed-radius disc — it
+    adapts edge length to local density, so a wrong match must agree with
+    its NEAREST neighbors specifically, not with any `min_support` matches
+    in a wide disc. That locality is what rejects occlusion-boundary
+    mismatches the radius filter admits (BASELINE.md pillars analysis).
+
+    One [N, N] distance + agreement sweep plus a row-wise top_k; same cost
+    class as grid_consistency_mask.
+    """
+    du = u1c[:, None] - u1c[None, :]
+    dv = v1c[:, None] - v1c[None, :]
+    d2 = du * du + dv * dv
+    n = u1c.shape[0]
+    ar = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    ac = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    off_graph = (~valid[None, :]) | (~valid[:, None]) | (ar == ac)
+    d2 = jnp.where(off_graph, jnp.inf, d2)
+    # kth-smallest distance per row -> adjacency (ties admit extra neighbors,
+    # harmless: ties in pixel distance are Delaunay-degenerate anyway)
+    kth = -jax.lax.top_k(-d2, k)[0][:, -1:]
+    adj = (d2 <= kth) & ~off_graph
+    agree = _pairwise_agreement(flow_u, flow_v, disp, method, flow_tol,
+                                disp_tol)
+    if weighted:
+        # Delaunay-faithful vote weighting: the reference visits each edge
+        # once per adjacent triangle, so interior edges vote TWICE and hull
+        # edges once (matcher.cpp:1260-1369). Mutual-kNN edges are the
+        # interior analog (weight 2); one-way edges the hull analog (1).
+        w = ((adj & adj.T).astype(jnp.float32) * 2.0
+             + (adj ^ adj.T).astype(jnp.float32))
+        support = jnp.sum(w * agree.astype(jnp.float32), axis=1)
+    else:
+        edge = adj | adj.T
+        support = jnp.sum((edge & agree).astype(jnp.float32), axis=1)
     return valid & (support >= min_support)

@@ -50,14 +50,20 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def initialize_distributed(coordinator: Optional[str] = None,
                            num_processes: Optional[int] = None,
                            process_id: Optional[int] = None):
-    """Multi-host process setup (jax.distributed). No-op when single-process
-    or when jax.distributed is already initialized."""
+    """Multi-host process setup (jax.distributed).
+
+    With an explicit coordinator address this MUST succeed — failures
+    (wrong address, process count mismatch, double init) propagate so a
+    misconfigured launch can't silently degrade to single-process. Without
+    one, auto-detection is attempted and a plain single-process environment
+    (nothing to detect) is a silent no-op.
+    """
+    if coordinator is not None:
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+        return
     try:
-        if coordinator is not None:
-            jax.distributed.initialize(coordinator_address=coordinator,
-                                       num_processes=num_processes,
-                                       process_id=process_id)
-        else:
-            jax.distributed.initialize()
+        jax.distributed.initialize()
     except (ValueError, RuntimeError):
-        pass  # single-process or already initialized
+        pass  # single-process: no cluster env to auto-detect

@@ -146,14 +146,35 @@ class SyntheticWorld:
             img = np.where(closer, val, img)
             depth = np.where(closer, zc, depth)
         for p0, e1, e2, s1, s2, toff in self.quads:
+            # quads are small on screen: project the 4 corners and restrict
+            # all per-pixel work to their image bbox (orders of magnitude
+            # less work than a full-image pass per quad)
+            corners = np.stack([p0, p0 + e1 * s1, p0 + e2 * s2,
+                                p0 + e1 * s1 + e2 * s2])
+            cc = corners @ R.T + t  # camera frame
+            if (cc[:, 2] <= 0.1).all():
+                continue
+            if (cc[:, 2] > 0.1).all():
+                cu_px = c.f * cc[:, 0] / cc[:, 2] + c.cu
+                cv_px = c.f * cc[:, 1] / cc[:, 2] + c.cv
+                u0 = max(int(np.floor(cu_px.min())) - 1, 0)
+                u1 = min(int(np.ceil(cu_px.max())) + 2, c.width)
+                v0 = max(int(np.floor(cv_px.min())) - 1, 0)
+                v1 = min(int(np.ceil(cv_px.max())) + 2, c.height)
+                if u0 >= u1 or v0 >= v1:
+                    continue
+            else:  # straddles the near plane: no safe bbox, full window
+                u0, u1, v0, v1 = 0, c.width, 0, c.height
+            win = np.s_[v0:v1, u0:u1]
+            dw = d_world[win]
             n = np.cross(e1, e2)
-            denom = d_world @ n
+            denom = dw @ n
             tnum = n @ p0 - cam_center @ n
             with np.errstate(divide="ignore", invalid="ignore"):
                 thit = tnum / denom
             ok = (thit > 0.1) & np.isfinite(thit)
             thit_safe = np.where(ok, thit, 1.0)
-            pts = cam_center[None, None, :] + thit_safe[..., None] * d_world
+            pts = cam_center[None, None, :] + thit_safe[..., None] * dw
             rel = pts - p0
             a = rel @ e1
             b = rel @ e2
@@ -161,9 +182,9 @@ class SyntheticWorld:
             uu = a * c.texture_scale * 4 + toff[0]
             vv = b * c.texture_scale * 4 + toff[1]
             val = _bilinear(self.tex, uu, vv)
-            closer = ok & (thit_safe < depth)
-            img = np.where(closer, val, img)
-            depth = np.where(closer, thit_safe, depth)
+            closer = ok & (thit_safe < depth[win])
+            img[win] = np.where(closer, val, img[win])
+            depth[win] = np.where(closer, thit_safe, depth[win])
         # distance haze keeps far texture from aliasing into fake features
         img = np.where(np.isfinite(depth), img, 90.0)
         return np.clip(img, 0, 255).astype(np.uint8)
