@@ -219,6 +219,16 @@ def main():
     import jax
 
     log(f"backend: {jax.devices()}")
+    # standing gate: re-validate every Pallas kernel against its oracle ON
+    # THIS DEVICE before timing (a silently-wrong kernel must fail the
+    # bench, not publish a fast wrong number)
+    if os.environ.get("BENCH_KERNEL_CHECK", "1") != "0":
+        import benchmarks.tpu_kernel_check as kernel_check
+
+        ok, kres = kernel_check.run_all()
+        if not ok:
+            raise SystemExit(f"Pallas kernel oracle check FAILED: {kres}")
+        log("kernel check: all Pallas kernels match oracles on device")
     left, right, poses = load_frames()
     stereo_fps = bench_stereo(left, right, poses)
     modes = {"stereo_grid_refine1": round(stereo_fps, 2)}

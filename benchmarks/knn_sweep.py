@@ -35,7 +35,9 @@ def parse_cfg(s):
     parts = s.split(":")
     kw = dict(outlier_mode=parts[0])
     for p in parts[1:]:
-        if p.startswith("k"):
+        if p == "pre":
+            kw["refine_pre_filter"] = True
+        elif p.startswith("k"):
             kw["outlier_knn_k"] = int(p[1:])
         elif p.startswith("s"):
             kw["outlier_min_support"] = int(p[1:])

@@ -129,7 +129,12 @@ def plane_cases():
           np.allclose(np.asarray(got1), oracle(one), rtol=3e-5))
 
 
-def main():
+def run_all():
+    """Run every oracle diff; returns (ok, results) and writes the JSON
+    record. Called by bench.py as a standing gate before timing."""
+    global rng
+    rng = np.random.RandomState(0)
+    results.clear()
     backend = jax.default_backend()
     print(f"backend: {backend} ({jax.devices()})", flush=True)
     results["backend"] = backend
@@ -148,6 +153,11 @@ def main():
         json.dump(results, f, indent=1)
     print(("ALL KERNELS MATCH ORACLES ON DEVICE" if ok else "FAILURES") +
           f" -> {path}", flush=True)
+    return ok, dict(results)
+
+
+def main():
+    ok, _ = run_all()
     sys.exit(0 if ok else 1)
 
 

@@ -122,6 +122,11 @@ class EngineConfig:
                                      # the compacted match table; the fast
                                      # pipeline refines post-bucketing where
                                      # counts are below this)
+    refine_pre_filter: bool = False  # True = reference stage order (refine
+                                     # ALL dense matches before the second
+                                     # outlier pass, matcher.cpp:229-232);
+                                     # False = fast path (refine the
+                                     # post-bucket survivors only)
     # outlier removal implementation: "delaunay" (host callback, reference-
     # faithful, matcher.cpp:1207-1377), "knn" (TPU-resident k-nearest-
     # neighbor vote — the on-device Delaunay analog), or "grid" (TPU-resident

@@ -118,6 +118,26 @@ def _make_mono_step_core(w: int, h: int, params: MonoParams,
             m1, method=0, n_bins_u=nbu, n_bins_v=nbv,
             binsize=p.match_binsize, match_radius=float(radius))
         m2 = match_flow(prev.dense, cur.dense, rt, use_rt=True, **kw)
+
+        def refine(m2, rw):
+            if p.refinement == 2:
+                u1p, v1p, ok = parabolic_fitting_prefix(
+                    cur.du_full, cur.dv_full, prev.du_full, prev.dv_full,
+                    m2.u1c, m2.v1c, m2.u1p, m2.v1p,
+                    jnp.float32(w), jnp.float32(h), window=rw)
+                return compact_matches(
+                    m2._replace(u1p=u1p, v1p=v1p, valid=m2.valid & ok),
+                    engine.max_matches)
+            u1p, v1p = relocate_minimum_prefix(
+                cur.du_full, cur.dv_full, prev.du_full, prev.dv_full,
+                m2.u1c, m2.v1c, m2.u1p, m2.v1p,
+                jnp.float32(w), jnp.float32(h), window=rw)
+            return m2._replace(u1p=u1p, v1p=v1p)
+
+        if p.refinement > 0 and engine.refine_pre_filter:
+            # reference stage order: refine BEFORE the second outlier
+            # filter (matcher.cpp:229-232)
+            m2 = refine(m2, engine.max_matches)
         m2 = _outliers(m2, 0, p.outlier_flow_tolerance,
                        p.outlier_disp_tolerance, engine.max_matches, mode,
                        engine)
@@ -126,21 +146,10 @@ def _make_mono_step_core(w: int, h: int, params: MonoParams,
                             params.bucket.bucket_height, engine.max_matches)
         # fast path refines AFTER filtering/bucketing (fewer matches to
         # patch-gather; the +-2 px moves are well inside the 5 px outlier
-        # tolerances, so filter results are equivalent in practice)
-        if p.refinement == 2:
-            u1p, v1p, ok = parabolic_fitting_prefix(
-                cur.du_full, cur.dv_full, prev.du_full, prev.dv_full,
-                m2.u1c, m2.v1c, m2.u1p, m2.v1p,
-                jnp.float32(w), jnp.float32(h), window=engine.refine_window)
-            m2 = compact_matches(
-                m2._replace(u1p=u1p, v1p=v1p, valid=m2.valid & ok),
-                engine.max_matches)
-        elif p.refinement == 1:
-            u1p, v1p = relocate_minimum_prefix(
-                cur.du_full, cur.dv_full, prev.du_full, prev.dv_full,
-                m2.u1c, m2.v1c, m2.u1p, m2.v1p,
-                jnp.float32(w), jnp.float32(h), window=engine.refine_window)
-            m2 = m2._replace(u1p=u1p, v1p=v1p)
+        # tolerances, so filter results are equivalent in practice — pinned
+        # by tests/test_sequence_and_placement.py)
+        if p.refinement > 0 and not engine.refine_pre_filter:
+            m2 = refine(m2, engine.refine_window)
         res = mono_estimate_motion(
             m2, k_ransac, calib, jnp.float32(params.height),
             jnp.float32(params.pitch), jnp.float32(params.inlier_threshold),
@@ -527,15 +536,8 @@ def _make_stereo_step_core(w: int, h: int, params: StereoParams,
             binsize=p.match_binsize, match_radius=float(radius))
         m2 = match_quad(prev_l.dense, prev_r.dense, cur_l.dense, cur_r.dense,
                         rt, tr_prior, calib4, use_rt=True, use_tr=True, **kw)
-        m2 = _outliers(m2, 2, p.outlier_flow_tolerance,
-                       p.outlier_disp_tolerance, engine.max_matches, mode,
-                       engine)
-        m2 = bucket_matches(m2, k_bucket, params.bucket.max_features,
-                            params.bucket.bucket_width,
-                            params.bucket.bucket_height, engine.max_matches)
-        # fast path refines AFTER filtering/bucketing (see mono note)
-        if p.refinement > 0:
-            rw = min(engine.refine_window, engine.max_matches)
+
+        def refine(m2, rw):
             # all three relocations share the same reference descriptor
             # (cur-left at u1c/v1c); extract it once
             ref = small_ref_descriptors(cur_l.du_full, cur_l.dv_full,
@@ -554,26 +556,39 @@ def _make_stereo_step_core(w: int, h: int, params: StereoParams,
                     cur_l.du_full, cur_l.dv_full, prev_r.du_full,
                     prev_r.dv_full, m2.u1c, m2.v1c, m2.u2p, m2.v2p,
                     wf, hf, window=rw, ref=ref)
-                m2 = compact_matches(
+                return compact_matches(
                     m2._replace(u1p=u1p, v1p=v1p, u2c=u2c, v2c=v2c,
                                 u2p=u2p, v2p=v2p,
                                 valid=m2.valid & ok1 & ok2 & ok3),
                     engine.max_matches)
-            else:
-                u1p, v1p = relocate_minimum_prefix(
-                    cur_l.du_full, cur_l.dv_full, prev_l.du_full,
-                    prev_l.dv_full, m2.u1c, m2.v1c, m2.u1p, m2.v1p,
-                    wf, hf, window=rw, ref=ref)
-                u2c, v2c = relocate_minimum_prefix(
-                    cur_l.du_full, cur_l.dv_full, cur_r.du_full,
-                    cur_r.dv_full, m2.u1c, m2.v1c, m2.u2c, m2.v2c,
-                    wf, hf, window=rw, ref=ref)
-                u2p, v2p = relocate_minimum_prefix(
-                    cur_l.du_full, cur_l.dv_full, prev_r.du_full,
-                    prev_r.dv_full, m2.u1c, m2.v1c, m2.u2p, m2.v2p,
-                    wf, hf, window=rw, ref=ref)
-                m2 = m2._replace(u1p=u1p, v1p=v1p, u2c=u2c, v2c=v2c,
-                                 u2p=u2p, v2p=v2p)
+            u1p, v1p = relocate_minimum_prefix(
+                cur_l.du_full, cur_l.dv_full, prev_l.du_full,
+                prev_l.dv_full, m2.u1c, m2.v1c, m2.u1p, m2.v1p,
+                wf, hf, window=rw, ref=ref)
+            u2c, v2c = relocate_minimum_prefix(
+                cur_l.du_full, cur_l.dv_full, cur_r.du_full,
+                cur_r.dv_full, m2.u1c, m2.v1c, m2.u2c, m2.v2c,
+                wf, hf, window=rw, ref=ref)
+            u2p, v2p = relocate_minimum_prefix(
+                cur_l.du_full, cur_l.dv_full, prev_r.du_full,
+                prev_r.dv_full, m2.u1c, m2.v1c, m2.u2p, m2.v2p,
+                wf, hf, window=rw, ref=ref)
+            return m2._replace(u1p=u1p, v1p=v1p, u2c=u2c, v2c=v2c,
+                               u2p=u2p, v2p=v2p)
+
+        if p.refinement > 0 and engine.refine_pre_filter:
+            # reference stage order: refine every dense-pass match BEFORE
+            # the second outlier filter (matcher.cpp:229-232)
+            m2 = refine(m2, engine.max_matches)
+        m2 = _outliers(m2, 2, p.outlier_flow_tolerance,
+                       p.outlier_disp_tolerance, engine.max_matches, mode,
+                       engine)
+        m2 = bucket_matches(m2, k_bucket, params.bucket.max_features,
+                            params.bucket.bucket_width,
+                            params.bucket.bucket_height, engine.max_matches)
+        # fast path refines AFTER filtering/bucketing (see mono note)
+        if p.refinement > 0 and not engine.refine_pre_filter:
+            m2 = refine(m2, min(engine.refine_window, engine.max_matches))
         res = stereo_estimate_motion(
             m2, k_ransac, calib4, jnp.float32(params.inlier_threshold),
             ransac_iters=params.ransac_iters)
