@@ -516,7 +516,13 @@ class Matcher:
         return self.matches
 
     def get_gain(self, inlier_mask) -> float:
-        """Camera gain ratio between frames (matcher.cpp:286-324)."""
+        """Camera gain ratio between frames (matcher.cpp:286-324).
+
+        Exposed-but-never-applied, exactly like the reference: getGain has
+        zero call sites in viso/, demo/, matlab/ or main.cpp — it exists for
+        callers doing external exposure control, and is deliberately NOT fed
+        back into SAD matching here either (decision recorded in ROADMAP.md).
+        """
         if self.prev is None or self.cur is None:
             return 1.0
         m = self.matches
