@@ -94,6 +94,45 @@ def parse(path, top_n=30):
         print(f"=== plane: {name}  (total device-op time {total_ms:.2f} ms)")
         for mid, dur in rows[:top_n]:
             print(f"{dur / 1e9:9.3f} ms  x{counts[mid]:<5d} {meta.get(mid, mid)[:110]}")
+        ledger(totals, meta, total_ms)
+
+
+# fragment -> pipeline stage, first match wins (op names are XLA fusion
+# names; the custom-call names carry the pallas kernel symbol)
+STAGE_RULES = [
+    ("sad", "match: SAD scan (pallas)"),
+    ("patch", "refine: patch extract (pallas)"),
+    ("plane", "mono scale: plane density (pallas)"),
+    ("conv", "detect: filters"),
+    ("reduce-window", "detect: NMS / pooling"),
+    ("while", "estimate: GN / RANSAC loops"),
+    ("sort", "sort / top-k"),
+    ("top-k", "sort / top-k"),
+    ("scatter", "compaction / gathers"),
+    ("gather", "compaction / gathers"),
+    ("dynamic-update", "compaction / gathers"),
+    ("iota", "elementwise fusions"),
+    ("fusion", "elementwise fusions"),
+    ("copy", "layout copies"),
+    ("transpose", "layout copies"),
+]
+
+
+def ledger(totals, meta, total_ms):
+    """Group per-op device time into pipeline stages (the roofline ledger
+    input; see BASELINE.md 'Speed-of-light ledger')."""
+    stages = defaultdict(float)
+    for mid, dur in totals.items():
+        nm = meta.get(mid, str(mid)).lower()
+        for frag, stage in STAGE_RULES:
+            if frag in nm:
+                stages[stage] += dur / 1e9
+                break
+        else:
+            stages["other"] += dur / 1e9
+    print("--- stage ledger ---")
+    for stage, ms in sorted(stages.items(), key=lambda kv: -kv[1]):
+        print(f"{ms:9.3f} ms  {100 * ms / max(total_ms, 1e-9):5.1f}%  {stage}")
 
 
 if __name__ == "__main__":

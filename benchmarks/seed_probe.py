@@ -51,8 +51,16 @@ def main():
                      "mono_std": float(np.std(mo_errs))}
         print(f"{cfg} {name}: stereo {np.mean(st_errs):.2f}±{np.std(st_errs):.2f} "
               f"mono {np.mean(mo_errs):.2f}±{np.std(mo_errs):.2f}", flush=True)
-    with open(os.path.join(HERE, "seed_probe.json"), "w") as f:
-        json.dump({cfg: out}, f, indent=1)
+    path = os.path.join(HERE, "seed_probe.json")
+    rec = {}
+    if os.path.exists(path):
+        try:
+            rec = json.load(open(path))
+        except ValueError:
+            rec = {}
+    rec[cfg] = out
+    with open(path, "w") as f:
+        json.dump(rec, f, indent=1)
 
 
 def run_stereo_seeded(step, params, engine, left, right, gt, seed):
