@@ -68,7 +68,7 @@ def _chunks(frames, lo, hi):
 
 
 def bench_stereo(left, right, poses, refinement=1, outlier_mode="grid",
-                 label="stereo", reps=REPS, staged=False):
+                 label="stereo", reps=REPS, staged=False, engine_kw=None):
     import jax
     import jax.numpy as jnp
 
@@ -86,7 +86,7 @@ def bench_stereo(left, right, poses, refinement=1, outlier_mode="grid",
     if refinement != 1:
         params = replace(params, match=replace(params.match,
                                                refinement=refinement))
-    engine = EngineConfig(outlier_mode=outlier_mode)
+    engine = EngineConfig(outlier_mode=outlier_mode, **(engine_kw or {}))
     # staged: Delaunay on host between 3 jitted stages (the axon runtime has
     # no pure_callback support; see make_stereo_frame_step_staged)
     step = (make_stereo_frame_step_staged(w, h, params, engine) if staged

@@ -34,20 +34,33 @@ def parse_cfg(s):
 
     parts = s.split(":")
     kw = dict(outlier_mode=parts[0])
+    refinement = 1
     for p in parts[1:]:
         if p == "pre":
             kw["refine_pre_filter"] = True
+        elif p == "sub":
+            refinement = 2  # subpixel parabolic fitting
+        elif p.startswith("w"):
+            kw["refine_window"] = int(p[1:])
         elif p.startswith("k"):
             kw["outlier_knn_k"] = int(p[1:])
         elif p.startswith("s"):
             kw["outlier_min_support"] = int(p[1:])
         elif p.startswith("r"):
             kw["outlier_grid_radius"] = float(p[1:])
-    return EngineConfig(**kw)
+    return _with_refinement(EngineConfig(**kw), refinement)
+
+
+def _with_refinement(engine, refinement):
+    # stash the MatcherParams.refinement choice alongside the engine config
+    # (frozen dataclass: carry it out-of-band for make_steps)
+    object.__setattr__(engine, "_sweep_refinement", refinement)
+    return engine
 
 
 def make_steps(engine):
-    from sfm_tpu.config import Bucketing, Calibration, MonoParams, StereoParams
+    from sfm_tpu.config import (Bucketing, Calibration, MonoParams,
+                                StereoParams, replace)
     from sfm_tpu.models.pipeline import (make_mono_frame_step,
                                          make_stereo_frame_step)
 
@@ -55,6 +68,10 @@ def make_steps(engine):
                       bucket=Bucketing(max_features=1000))
     mp = MonoParams(calib=Calibration(f=F, cu=CU, cv=CV), height=1.6,
                     pitch=0.0, bucket=Bucketing(max_features=1000))
+    refinement = getattr(engine, "_sweep_refinement", 1)
+    if refinement != 1:
+        sp = replace(sp, match=replace(sp.match, refinement=refinement))
+        mp = replace(mp, match=replace(mp.match, refinement=refinement))
     return (make_stereo_frame_step(W, H, sp, engine), sp,
             make_mono_frame_step(W, H, mp, engine), mp, engine)
 

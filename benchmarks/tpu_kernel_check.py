@@ -146,6 +146,7 @@ def run_all():
     sad_cases()
     patch_cases()
     plane_cases()
+    knn_cases()
     ok = all(v for k, v in results.items() if isinstance(v, bool))
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "tpu_kernel_check.json")
@@ -154,6 +155,51 @@ def run_all():
     print(("ALL KERNELS MATCH ORACLES ON DEVICE" if ok else "FAILURES") +
           f" -> {path}", flush=True)
     return ok, dict(results)
+
+
+def knn_cases():
+    """knn_consistency_mask on TPU uses approx_min_k for the kth-distance
+    threshold (full top_k lowers to an 8 ms sort). Approx misses can only
+    RAISE the threshold, so the device mask must be a SUPERSET of the exact
+    oracle's with a small admission excess."""
+    from sfm_tpu.ops.outliers import knn_consistency_mask
+
+    n = 2048
+    u = jnp.asarray(rng.uniform(0, 1240, n), jnp.float32)
+    v = jnp.asarray(rng.uniform(0, 375, n), jnp.float32)
+    valid = jnp.asarray(rng.rand(n) > 0.3)
+    fu = jnp.asarray(np.where(rng.rand(n) > 0.1, 10.0,
+                              rng.uniform(-40, 40, n)), jnp.float32)
+    fv = jnp.zeros(n, jnp.float32)
+    dp = jnp.asarray(rng.uniform(4, 6, n), jnp.float32)
+
+    def oracle(k, min_support, weighted):
+        uu, vv = np.asarray(u), np.asarray(v)
+        val = np.asarray(valid)
+        d2 = (uu[:, None] - uu[None, :]) ** 2 + (vv[:, None] - vv[None, :]) ** 2
+        off = ~val[None, :] | ~val[:, None] | np.eye(n, dtype=bool)
+        d2 = np.where(off, np.inf, d2)
+        kth = np.sort(d2, axis=1)[:, k - 1:k]
+        adj = (d2 <= kth) & ~off
+        agree = (np.abs(np.asarray(fu)[:, None] - np.asarray(fu)[None, :])
+                 + np.abs(np.asarray(fv)[:, None]
+                          - np.asarray(fv)[None, :])) < 5.0
+        agree &= np.abs(np.asarray(dp)[:, None] - np.asarray(dp)[None, :]) < 5.0
+        if weighted:
+            support = np.sum(((adj & adj.T) * 2.0 + (adj ^ adj.T)) * agree, 1)
+        else:
+            support = np.sum((adj | adj.T) & agree, axis=1)
+        return val & (support >= min_support)
+
+    for weighted, ms, tag in ((False, 2, "knn_s2"), (True, 4, "knnw_s4")):
+        got = np.asarray(knn_consistency_mask(
+            u, v, valid, fu, fv, dp, 2, 5.0, 5.0, k=8, min_support=ms,
+            weighted=weighted))
+        ref = oracle(8, ms, weighted)
+        superset = bool((got | ~ref)[np.asarray(valid)].all())
+        excess = float((got & ~ref).sum() / max(ref.sum(), 1))
+        check(f"knn_mask/{tag}_superset", superset)
+        check(f"knn_mask/{tag}_excess<5%", excess < 0.05)
 
 
 def main():

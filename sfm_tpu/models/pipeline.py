@@ -45,13 +45,20 @@ from .stereo import StereoResult, stereo_estimate_motion
 
 def _outliers(m: Matches, method: int, flow_tol: float, disp_tol: float,
               cap: int, mode: str = "grid",
-              engine: EngineConfig = None) -> Matches:
+              engine: EngineConfig = None, limit: int = None) -> Matches:
     """Outlier filtering inside the fused step: "knn" = on-device kNN-graph
     voting (Delaunay analog, default winner config), "grid" = on-device
     radius-disc support, "delaunay" = reference-faithful host callback
     (matcher.cpp:1207-1377 via pure_callback — stays one dispatch per frame,
-    two host round-trips)."""
+    two host round-trips).
+
+    `limit`: static upper bound on the VALID match count (tables are
+    compacted, so valid entries are a prefix). The sparse pass can never
+    exceed the sparse feature capacity, so its [N, N] vote runs on a
+    [limit, limit] slice — 16x less work at the default capacities."""
     e = engine or EngineConfig()
+    n = m.u1c.shape[0]
+    sl = (lambda a: a[:limit]) if (limit and limit < n) else (lambda a: a)
     flow_u, flow_v = m.u1c - m.u1p, m.v1c - m.v1p
     disp = (m.u1c - m.u2c) if method == 1 else (m.u1p - m.u2p)
     if mode == "delaunay":
@@ -59,14 +66,18 @@ def _outliers(m: Matches, method: int, flow_tol: float, disp_tol: float,
                                       disp, method, flow_tol, disp_tol)
     elif mode in ("knn", "knnw"):
         keep = knn_consistency_mask(
-            m.u1c, m.v1c, m.valid, flow_u, flow_v, disp, method, flow_tol,
-            disp_tol, k=e.outlier_knn_k, min_support=e.outlier_min_support,
-            weighted=(mode == "knnw"))
+            sl(m.u1c), sl(m.v1c), sl(m.valid), sl(flow_u), sl(flow_v),
+            sl(disp), method, flow_tol, disp_tol, k=e.outlier_knn_k,
+            min_support=e.outlier_min_support, weighted=(mode == "knnw"))
     else:
         keep = grid_consistency_mask(
-            m.u1c, m.v1c, m.valid, flow_u, flow_v, disp, method, flow_tol,
-            disp_tol, radius=e.outlier_grid_radius,
+            sl(m.u1c), sl(m.v1c), sl(m.valid), sl(flow_u), sl(flow_v),
+            sl(disp), method, flow_tol, disp_tol,
+            radius=e.outlier_grid_radius,
             min_support=e.outlier_min_support)
+    if keep.shape[0] != n:
+        keep = jnp.concatenate(
+            [keep, jnp.zeros((n - keep.shape[0],), bool)])
     return compact_matches(m._replace(valid=keep), cap)
 
 
@@ -113,7 +124,7 @@ def _make_mono_step_core(w: int, h: int, params: MonoParams,
         m1 = match_flow(prev.sparse, cur.sparse, None, use_rt=False, **kw)
         m1 = _outliers(m1, 0, p.outlier_flow_tolerance,
                        p.outlier_disp_tolerance, engine.max_matches, mode,
-                       engine)
+                       engine, limit=engine.max_features_sparse)
         rt = compute_prior_statistics(
             m1, method=0, n_bins_u=nbu, n_bins_v=nbv,
             binsize=p.match_binsize, match_radius=float(radius))
@@ -530,7 +541,7 @@ def _make_stereo_step_core(w: int, h: int, params: StereoParams,
                         use_rt=False, use_tr=True, **kw)
         m1 = _outliers(m1, 2, p.outlier_flow_tolerance,
                        p.outlier_disp_tolerance, engine.max_matches, mode,
-                       engine)
+                       engine, limit=engine.max_features_sparse)
         rt = compute_prior_statistics(
             m1, method=2, n_bins_u=nbu, n_bins_v=nbv,
             binsize=p.match_binsize, match_radius=float(radius))
