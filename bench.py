@@ -171,7 +171,7 @@ def bench_mono(left, poses):
     params = MonoParams(
         calib=Calibration(f=645.2, cu=635.9, cv=194.1), height=1.6,
         pitch=0.0, bucket=Bucketing(max_features=1000))
-    engine = EngineConfig(outlier_mode="grid")
+    engine = EngineConfig(outlier_mode="knnw")
     step = make_mono_frame_step(w, h, params, engine)
 
     p = params.match
@@ -230,18 +230,24 @@ def main():
             raise SystemExit(f"Pallas kernel oracle check FAILED: {kres}")
         log("kernel check: all Pallas kernels match oracles on device")
     left, right, poses = load_frames()
-    stereo_fps = bench_stereo(left, right, poses)
-    modes = {"stereo_grid_refine1": round(stereo_fps, 2)}
+    # headline config = the accuracy-validated winner (seed_probe.json):
+    # knnw outlier voting (on-device Delaunay analog w/ reference vote
+    # weighting) + full-coverage refinement window
+    stereo_fps = bench_stereo(left, right, poses, outlier_mode="knnw",
+                              label="stereo_knnw")
+    modes = {"stereo_knnw_refine1": round(stereo_fps, 2)}
     try:
         mono_fps = bench_mono(left, poses)
-        modes["mono_grid_refine1"] = round(mono_fps, 2)
+        modes["mono_knnw_refine1"] = round(mono_fps, 2)
         log(f"mono_vo_fps={mono_fps:.2f} vs_baseline={mono_fps / REF_MONO_FPS:.2f}")
     except Exception as e:  # mono is secondary; never break the headline
         log(f"mono bench failed: {e}")
     if os.environ.get("BENCH_MODES", "1") != "0":
-        # secondary configs (reference-surface completeness): subpixel
-        # refinement and the pure_callback Delaunay outlier mode
-        for kw, name in ((dict(refinement=2), "stereo_grid_refine2"),
+        # secondary configs (reference-surface completeness): the old grid
+        # filter, subpixel refinement, and the host-Delaunay staged mode
+        for kw, name in ((dict(outlier_mode="grid"), "stereo_grid_refine1"),
+                         (dict(outlier_mode="knnw", refinement=2),
+                          "stereo_knnw_refine2"),
                          (dict(outlier_mode="delaunay", staged=True),
                           "stereo_delaunay_refine1")):
             try:

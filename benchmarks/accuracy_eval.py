@@ -119,7 +119,7 @@ def run_fused_stereo(left, right, gt):
 
     params = StereoParams(calib=Calibration(f=F, cu=CU, cv=CV), base=BASE_M,
                           bucket=Bucketing(max_features=1000))
-    engine = EngineConfig(outlier_mode="grid")
+    engine = EngineConfig(outlier_mode="knnw")
     step = make_stereo_frame_step(W, H, params, engine)
     p = params.match
     det = lambda img: detect_features(
@@ -151,7 +151,7 @@ def run_fused_mono(left, gt):
 
     params = MonoParams(calib=Calibration(f=F, cu=CU, cv=CV), height=1.6,
                         pitch=0.0, bucket=Bucketing(max_features=1000))
-    engine = EngineConfig(outlier_mode="grid")
+    engine = EngineConfig(outlier_mode="knnw")
     step = make_mono_frame_step(W, H, params, engine)
     p = params.match
     det = lambda img: detect_features(
@@ -228,16 +228,16 @@ def main():
         res["ref_mono"] = run_reference("mono", d, n_sc, poses)
         print("  ref mono:  ", res["ref_mono"], flush=True)
         t0 = time.time()
-        res["fused_stereo_grid"] = run_fused_stereo(left, right, poses)
-        print(f"  fused stereo (grid): {res['fused_stereo_grid']} "
+        res["fused_stereo_knnw"] = run_fused_stereo(left, right, poses)
+        print(f"  fused stereo (knnw): {res['fused_stereo_knnw']} "
               f"[{time.time()-t0:.0f}s]", flush=True)
         t0 = time.time()
         res["class_stereo_delaunay"] = run_class_stereo(left, right, poses)
         print(f"  class stereo (delaunay): {res['class_stereo_delaunay']} "
               f"[{time.time()-t0:.0f}s]", flush=True)
         t0 = time.time()
-        res["fused_mono_grid"] = run_fused_mono(left, poses)
-        print(f"  fused mono (grid): {res['fused_mono_grid']} "
+        res["fused_mono_knnw"] = run_fused_mono(left, poses)
+        print(f"  fused mono (knnw): {res['fused_mono_knnw']} "
               f"[{time.time()-t0:.0f}s]", flush=True)
         t0 = time.time()
         res["class_mono_delaunay"] = run_class_mono(left, poses)

@@ -118,10 +118,14 @@ class EngineConfig:
     max_matches: int = 4096          # per frame pair
     max_tracks: int = 4096           # live reconstruction tracks
     max_points_per_frame: int = 1024 # finished 3D points emitted per frame
-    refine_window: int = 1024        # matches refined per frame (prefix of
-                                     # the compacted match table; the fast
-                                     # pipeline refines post-bucketing where
-                                     # counts are below this)
+    refine_window: int = 2048        # matches refined per frame (prefix of
+                                     # the compacted match table). MUST cover
+                                     # the post-filter match count: a smaller
+                                     # window leaves half-res-quantized tail
+                                     # coordinates in the estimator, which
+                                     # measurably degrades turning-scene
+                                     # accuracy (seed_probe.json: curve
+                                     # stereo 1.89% @1024 vs 1.10% @2048)
     refine_pre_filter: bool = False  # True = reference stage order (refine
                                      # ALL dense matches before the second
                                      # outlier pass, matcher.cpp:229-232);
