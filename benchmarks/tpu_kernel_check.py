@@ -147,6 +147,7 @@ def run_all():
     patch_cases()
     plane_cases()
     knn_cases()
+    detect_filter_cases()
     ok = all(v for k, v in results.items() if isinstance(v, bool))
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "tpu_kernel_check.json")
@@ -209,3 +210,22 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def detect_filter_cases():
+    """detect_filters_pallas must match the jnp filters EXACTLY (integer
+    semantics, reference filter.cpp:316-365) inside the valid region."""
+    from sfm_tpu.ops import filters
+    from sfm_tpu.ops.pallas_kernels import detect_filters_pallas
+
+    img = jnp.asarray(rng.randint(0, 256, (376, 1241)), jnp.uint8)
+    du, dv, blob, chk = detect_filters_pallas(img, with_blob_checker=True)
+    rdu, rdv = filters.sobel5x5(img)
+    m = 4
+    crop = lambda a: np.asarray(a)[m:-m, m:-m]
+    check("detect_filters/sobel_du", np.array_equal(crop(du), crop(rdu)))
+    check("detect_filters/sobel_dv", np.array_equal(crop(dv), crop(rdv)))
+    check("detect_filters/blob",
+          np.array_equal(crop(blob), crop(filters.blob5x5(img))))
+    check("detect_filters/checker",
+          np.array_equal(crop(chk), crop(filters.checkerboard5x5(img))))

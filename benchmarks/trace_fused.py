@@ -41,7 +41,7 @@ def main():
     h, w = frames[0].shape
     print(f"backend={jax.default_backend()} {w}x{h} mono={mono}", flush=True)
 
-    engine = EngineConfig(outlier_mode="grid")
+    engine = EngineConfig(outlier_mode=os.environ.get("TRACE_MODE", "knnw"))
     calib = Calibration(f=645.2, cu=635.9, cv=194.1)
     bucket = Bucketing(max_features=1000)
 

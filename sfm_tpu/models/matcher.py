@@ -85,10 +85,21 @@ def detect_features(
         img_m = img
         s = 1
 
-    du_m, dv_m = filters.sobel5x5(img_m)
-    du_full, dv_full = (filters.sobel5x5(img) if half_resolution else (du_m, dv_m))
-    f1 = filters.blob5x5(img_m)
-    f2 = filters.checkerboard5x5(img_m)
+    if jax.default_backend() == "tpu":
+        # one fused VMEM pass per image (exact integer parity with the jnp
+        # filters; computeFeatures as a single kernel, matcher.cpp:649-732)
+        from ..ops.pallas_kernels import detect_filters_pallas
+
+        du_m, dv_m, f1, f2 = detect_filters_pallas(img_m,
+                                                   with_blob_checker=True)
+        du_full, dv_full = (detect_filters_pallas(img, with_blob_checker=False)
+                            if half_resolution else (du_m, dv_m))
+    else:
+        du_m, dv_m = filters.sobel5x5(img_m)
+        du_full, dv_full = (filters.sobel5x5(img) if half_resolution
+                            else (du_m, dv_m))
+        f1 = filters.blob5x5(img_m)
+        f2 = filters.checkerboard5x5(img_m)
 
     def detect(n, cap):
         fs = nms_features(f1, f2, w=wm, h=hm, n=n, tau=nms_tau, cap=cap)

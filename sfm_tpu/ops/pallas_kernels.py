@@ -273,6 +273,100 @@ def extract_patches_pallas(du, dv, u0, v0, block: int = 1024,
 
 
 # ---------------------------------------------------------------------------
+# Fused detect filters (sobel5x5 + blob5x5 + checkerboard5x5 in one pass)
+# ---------------------------------------------------------------------------
+
+_SMOOTH5 = (1, 4, 6, 4, 1)      # filter.cpp:71
+_DERIV5 = (1, 2, 0, -2, -1)     # filter.cpp:105
+_CHECKER5 = (1, 1, 0, -1, -1)   # filter.cpp:235,260
+
+
+def _kshift(a, d, axis):
+    """out[y, x] = in[y + d] along axis, wrapping (borders are invalid by
+    contract, ops/filters.py margin note)."""
+    if d == 0:
+        return a
+    if not _interpret():
+        return pltpu.roll(a, (-d) % a.shape[axis], axis)  # native rotate
+    n = a.shape[axis]
+    lo = jax.lax.slice_in_dim(a, (d % n), n, axis=axis)
+    hi = jax.lax.slice_in_dim(a, 0, (d % n), axis=axis)
+    return jax.lax.concatenate([lo, hi], axis)
+
+
+def _ksep(a, taps, axis):
+    r = len(taps) // 2
+    out = None
+    for i, c in enumerate(taps):
+        if c == 0:
+            continue
+        s = _kshift(a, i - r, axis)
+        term = s if c == 1 else (-s if c == -1 else c * s)
+        out = term if out is None else out + term
+    return out
+
+
+def _detect_filters_kernel(img_ref, du_ref, dv_ref, blob_ref, chk_ref):
+    x = img_ref[:].astype(jnp.int32)
+    tv = _ksep(x, _SMOOTH5, 0)
+    th = _ksep(x, _DERIV5, 0)
+    du = _ksep(tv, _DERIV5, 1)
+    dv = _ksep(th, _SMOOTH5, 1)
+    du_ref[:] = jnp.clip(jnp.right_shift(du, 7) + 128, 0, 255).astype(
+        jnp.uint8)
+    dv_ref[:] = jnp.clip(jnp.right_shift(dv, 7) + 128, 0, 255).astype(
+        jnp.uint8)
+    ones5 = (1, 1, 1, 1, 1)
+    ones3 = (1, 1, 1)
+    box5 = _ksep(_ksep(x, ones5, 0), ones5, 1)
+    box3 = _ksep(_ksep(x, ones3, 0), ones3, 1)
+    blob_ref[:] = (-box5 + 2 * box3 + 7 * x).astype(jnp.int16)
+    chk = _ksep(_ksep(x, _CHECKER5, 0), _CHECKER5, 1)
+    chk_ref[:] = chk.astype(jnp.int16)
+
+
+def _sobel_only_kernel(img_ref, du_ref, dv_ref):
+    x = img_ref[:].astype(jnp.int32)
+    tv = _ksep(x, _SMOOTH5, 0)
+    th = _ksep(x, _DERIV5, 0)
+    du = _ksep(tv, _DERIV5, 1)
+    dv = _ksep(th, _SMOOTH5, 1)
+    du_ref[:] = jnp.clip(jnp.right_shift(du, 7) + 128, 0, 255).astype(
+        jnp.uint8)
+    dv_ref[:] = jnp.clip(jnp.right_shift(dv, 7) + 128, 0, 255).astype(
+        jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("with_blob_checker",))
+def detect_filters_pallas(img, with_blob_checker: bool = True):
+    """One VMEM pass producing every detect-stage filter response with the
+    exact integer semantics of ops/filters.py (sobel5x5 u8 pack, blob /
+    checkerboard i16 — reference filter.cpp:316-365).
+
+    The jnp formulation is a chain of jnp.roll shifted-adds that XLA lowers
+    with lane-relayout copies (~1.3 ms/frame for the detect stage); here the
+    whole image lives in VMEM once and the ~20 shifted adds are pure vector
+    ops (~0.2 ms). Returns (du, dv[, blob, checker])."""
+    H, W = img.shape
+    outs = [jax.ShapeDtypeStruct((H, W), jnp.uint8),
+            jax.ShapeDtypeStruct((H, W), jnp.uint8)]
+    if with_blob_checker:
+        outs += [jax.ShapeDtypeStruct((H, W), jnp.int16),
+                 jax.ShapeDtypeStruct((H, W), jnp.int16)]
+    kernel = (_detect_filters_kernel if with_blob_checker
+              else _sobel_only_kernel)
+    # whole image + i32 temporaries live in VMEM (~20 MB at KITTI size);
+    # raise Mosaic's 16 MB default scoped limit
+    return pl.pallas_call(
+        kernel,
+        out_shape=outs,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024),
+        interpret=_interpret(),
+    )(img)
+
+
+# ---------------------------------------------------------------------------
 # Plane density scoring
 # ---------------------------------------------------------------------------
 
