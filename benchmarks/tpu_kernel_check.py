@@ -203,6 +203,30 @@ def knn_cases():
         check(f"knn_mask/{tag}_excess<5%", excess < 0.05)
 
 
+def detect_filter_cases():
+    """detect_filters_pallas must match the jnp filters EXACTLY (integer
+    semantics, reference filter.cpp:316-365) inside the valid region — at
+    both the full-res shape and the half-res shape the default
+    half_resolution detect path runs through the same kernel."""
+    from sfm_tpu.ops import filters
+    from sfm_tpu.ops.pallas_kernels import detect_filters_pallas
+
+    for H, W, tag in ((376, 1241, "full"), (188, 620, "half")):
+        img = jnp.asarray(rng.randint(0, 256, (H, W)), jnp.uint8)
+        du, dv, blob, chk = detect_filters_pallas(img, with_blob_checker=True)
+        rdu, rdv = filters.sobel5x5(img)
+        m = 4
+        crop = lambda a: np.asarray(a)[m:-m, m:-m]
+        check(f"detect_filters/{tag}/sobel_du",
+              np.array_equal(crop(du), crop(rdu)))
+        check(f"detect_filters/{tag}/sobel_dv",
+              np.array_equal(crop(dv), crop(rdv)))
+        check(f"detect_filters/{tag}/blob",
+              np.array_equal(crop(blob), crop(filters.blob5x5(img))))
+        check(f"detect_filters/{tag}/checker",
+              np.array_equal(crop(chk), crop(filters.checkerboard5x5(img))))
+
+
 def main():
     ok, _ = run_all()
     sys.exit(0 if ok else 1)
@@ -210,22 +234,3 @@ def main():
 
 if __name__ == "__main__":
     main()
-
-
-def detect_filter_cases():
-    """detect_filters_pallas must match the jnp filters EXACTLY (integer
-    semantics, reference filter.cpp:316-365) inside the valid region."""
-    from sfm_tpu.ops import filters
-    from sfm_tpu.ops.pallas_kernels import detect_filters_pallas
-
-    img = jnp.asarray(rng.randint(0, 256, (376, 1241)), jnp.uint8)
-    du, dv, blob, chk = detect_filters_pallas(img, with_blob_checker=True)
-    rdu, rdv = filters.sobel5x5(img)
-    m = 4
-    crop = lambda a: np.asarray(a)[m:-m, m:-m]
-    check("detect_filters/sobel_du", np.array_equal(crop(du), crop(rdu)))
-    check("detect_filters/sobel_dv", np.array_equal(crop(dv), crop(rdv)))
-    check("detect_filters/blob",
-          np.array_equal(crop(blob), crop(filters.blob5x5(img))))
-    check("detect_filters/checker",
-          np.array_equal(crop(chk), crop(filters.checkerboard5x5(img))))

@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass, field
-from typing import Optional
 
 
 @dataclass(frozen=True)
@@ -117,7 +116,6 @@ class EngineConfig:
     max_features_sparse: int = 1024  # per image, sparse (1st) NMS pass
     max_matches: int = 4096          # per frame pair
     max_tracks: int = 4096           # live reconstruction tracks
-    max_points_per_frame: int = 1024 # finished 3D points emitted per frame
     refine_window: int = 2048        # matches refined per frame (prefix of
                                      # the compacted match table). MUST cover
                                      # the post-filter match count: a smaller
@@ -131,11 +129,13 @@ class EngineConfig:
                                      # outlier pass, matcher.cpp:229-232);
                                      # False = fast path (refine the
                                      # post-bucket survivors only)
-    # outlier removal implementation: "delaunay" (host callback, reference-
-    # faithful, matcher.cpp:1207-1377), "knn" (TPU-resident k-nearest-
-    # neighbor vote — the on-device Delaunay analog), or "grid" (TPU-resident
-    # radius-disc vote)
-    outlier_mode: str = "delaunay"
+    # outlier removal implementation: "knnw" (TPU-resident k-nearest-neighbor
+    # vote with the reference's per-triangle double-count weighting — the
+    # on-device Delaunay analog and the measured headline/accuracy winner,
+    # BASELINE.md round-3 table), "knn" (unweighted variant), "grid"
+    # (TPU-resident radius-disc vote), or "delaunay" (host callback,
+    # reference-faithful fidelity oracle, matcher.cpp:1207-1377)
+    outlier_mode: str = "knnw"
     outlier_knn_k: int = 8           # neighbors per match in "knn" mode
     outlier_min_support: int = 4     # votes to survive ("knn"/"grid";
                                      # reference Delaunay uses 4 with interior
@@ -144,8 +144,6 @@ class EngineConfig:
     # compute the frame-to-frame camera gain ratio in the fused pipeline
     # (matcher.cpp:286-324 getGain; the class path exposes get_gain() instead)
     compute_gain: bool = False
-    # use Pallas kernels for hot ops (auto-disabled on CPU test backend)
-    use_pallas: Optional[bool] = None
     # float dtype for geometry (reference uses float64; f32 is TPU-native)
     dtype: str = "float32"
 

@@ -487,7 +487,8 @@ def _make_stereo_tail(w, h, params, engine, calib4, kw):
                                  u2p=u2p, v2p=v2p)
         res = stereo_estimate_motion(
             m2, k_ransac, calib4, jnp.float32(params.inlier_threshold),
-            ransac_iters=params.ransac_iters)
+            ransac_iters=params.ransac_iters,
+            reweighting=params.reweighting)
         if engine.compute_gain:
             res = res._replace(gain=_gain_means(
                 prev_l.img, cur_l.img, m2.u1p, m2.v1p, m2.u1c, m2.v1c,
@@ -602,7 +603,8 @@ def _make_stereo_step_core(w: int, h: int, params: StereoParams,
             m2 = refine(m2, min(engine.refine_window, engine.max_matches))
         res = stereo_estimate_motion(
             m2, k_ransac, calib4, jnp.float32(params.inlier_threshold),
-            ransac_iters=params.ransac_iters)
+            ransac_iters=params.ransac_iters,
+            reweighting=params.reweighting)
         if engine.compute_gain:
             res = res._replace(gain=_gain_means(
                 prev_l.img, cur_l.img, m2.u1p, m2.v1p, m2.u1c, m2.v1c,

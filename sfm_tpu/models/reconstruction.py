@@ -34,7 +34,10 @@ from ..ops.linalg import smallest_right_singular_vector
 from ..ops.matching import Matches
 
 FRAME_CAP = 8          # poses indexed by frames_ago (0 = current)
-TRACK_LEN = 6          # reference max_track_length (reconstruction.h:118)
+TRACK_LEN = 6          # default max_track_length (reference reconstruction.h:118);
+                       # ReconstructionParams.max_track_length overrides via
+                       # init_state(track_len=...) — the table column count IS
+                       # the window, recon_update reads it from the state shape
 
 
 class ReconState(NamedTuple):
@@ -47,11 +50,12 @@ class ReconState(NamedTuple):
     fwd: jnp.ndarray       # [F, 4, 4]: frame k camera -> current camera
 
 
-def init_state(max_tracks: int, dtype=jnp.float32) -> ReconState:
+def init_state(max_tracks: int, dtype=jnp.float32,
+               track_len: int = TRACK_LEN) -> ReconState:
     eye = jnp.broadcast_to(jnp.eye(4, dtype=dtype), (FRAME_CAP, 4, 4))
     return ReconState(
-        px_u=jnp.zeros((max_tracks, TRACK_LEN), dtype),
-        px_v=jnp.zeros((max_tracks, TRACK_LEN), dtype),
+        px_u=jnp.zeros((max_tracks, track_len), dtype),
+        px_v=jnp.zeros((max_tracks, track_len), dtype),
         length=jnp.zeros((max_tracks,), jnp.int32),
         last_idx=jnp.full((max_tracks,), -1, jnp.int32),
         first_ago=jnp.zeros((max_tracks,), jnp.int32),
@@ -91,7 +95,7 @@ def recon_update(
     Returns (new_state, points [T,3], point_valid [T]): finished 3D points in
     current-camera coordinates."""
     T_cap = state.active.shape[0]
-    L = TRACK_LEN
+    L = state.px_u.shape[1]  # track window = ReconstructionParams.max_track_length
 
     # --- shift pose ring: everything one frame older, new eye at slot 0 ---
     shifted = jnp.einsum("ij,fjk->fik", rev_tr, state.fwd)
@@ -291,7 +295,8 @@ class Reconstruction:
         self.p = params
         self.e = engine or EngineConfig()
         self.K = np.eye(3)
-        self._state = init_state(self.e.max_tracks)
+        self._state = init_state(self.e.max_tracks,
+                                 track_len=self.p.max_track_length)
         self._points: list[np.ndarray] = []  # finished points, current-cam coords
         self._tr_cam_road = np.eye(4)
 

@@ -35,7 +35,7 @@ class StereoResult(NamedTuple):
     gain: jnp.ndarray = None
 
 
-@functools.partial(jax.jit, static_argnames=("ransac_iters",))
+@functools.partial(jax.jit, static_argnames=("ransac_iters", "reweighting"))
 def stereo_estimate_motion(
     m: Matches,
     key,
@@ -43,6 +43,7 @@ def stereo_estimate_motion(
     inlier_threshold: jnp.ndarray,
     *,
     ransac_iters: int,
+    reweighting: bool = True,
 ) -> StereoResult:
     valid = m.valid
     N = jnp.sum(valid.astype(jnp.int32))
@@ -63,7 +64,8 @@ def stereo_estimate_motion(
     obs_s = obs[samples]
     ones = jnp.ones(samples.shape, pts.dtype)
     tr0 = jnp.zeros((ransac_iters, 6), pts.dtype)
-    tr_h, status_h = gn_solve(tr0, pts_s, obs_s, ones, calib, 21, 1e-6)
+    tr_h, status_h = gn_solve(tr0, pts_s, obs_s, ones, calib, 21, 1e-6,
+                              reweighting)
 
     pred = predict_observations(tr_h, pts[None], calib)     # [B, N, 4]
     err2 = jnp.sum((obs[None] - pred) ** 2, axis=-1)
@@ -79,7 +81,8 @@ def stereo_estimate_motion(
     # reference eps is 1e-8 in double; in float32 GN steps bottom out near
     # 1e-7, so we use 1e-6 (still ~0.1 um / 0.1 urad — far below pixel noise)
     wmask = best_mask.astype(pts.dtype)
-    tr_f, status_f = gn_solve(tr_h[best], pts, obs, wmask, calib, 101, 1e-6)
+    tr_f, status_f = gn_solve(tr_h[best], pts, obs, wmask, calib, 101, 1e-6,
+                              reweighting)
     ok_conv = status_f == CONVERGED
 
     success = okN & ok_in & ok_conv & jnp.all(jnp.isfinite(tr_f))
@@ -128,7 +131,8 @@ class VisualOdometryStereo:
         res = stereo_estimate_motion(
             m, self._next_key(), self._calib,
             jnp.float32(self.p.inlier_threshold),
-            ransac_iters=self.p.ransac_iters)
+            ransac_iters=self.p.ransac_iters,
+            reweighting=self.p.reweighting)
         self._last = res
         if bool(res.success):
             self.Tr_delta = np.asarray(

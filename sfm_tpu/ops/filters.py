@@ -7,12 +7,12 @@ SSE/NEON intrinsics over `uint8` images, producing:
   * blob / checkerboard responses as int16 (filter.cpp:331-365).
 
 We reproduce the integer semantics exactly (arithmetic shift = floor division,
-saturating u8 pack), but with properly centered windows. The reference's SIMD
-row/column pipelines emit Sobel and checkerboard responses shifted up by two
-rows (filter.cpp:183-233 writes the column pass at a +4-row offset, the row
-pass re-centers only horizontally); the vendored non-SIMD variant
-(matcher.cpp:529-592) is centered, confirming the shift is an artifact, not a
-design choice. All our filters are centered; downstream stays self-consistent.
+saturating u8 pack) with centered windows — which matches the reference SIMD
+path exactly: in `convolve_cols_5x5` (filter.cpp:195-196) the `+w_chunk*4`
+result offset is in 16-byte `array_8xint16_t` units = 2 rows of int16, which
+centers the 5-tap column window. Our outputs are bit-identical to the
+`-DUSE_SIMD` reference binary (tests/test_reference_parity.py exact-equality
+filter tests, and the on-device kernel gate).
 
 Everything here is pure jnp on int32 (exact), fully fused by XLA on the VPU;
 filters are memory-bound so no Pallas kernel is needed — XLA emits a single

@@ -346,8 +346,21 @@ def detect_filters_pallas(img, with_blob_checker: bool = True):
     The jnp formulation is a chain of jnp.roll shifted-adds that XLA lowers
     with lane-relayout copies (~1.3 ms/frame for the detect stage); here the
     whole image lives in VMEM once and the ~20 shifted adds are pure vector
-    ops (~0.2 ms). Returns (du, dv[, blob, checker])."""
+    ops (~0.2 ms). Returns (du, dv[, blob, checker]).
+
+    The kernel holds the image + i32 temporaries in VMEM as ONE block (no
+    grid), which bounds the supported image size; images beyond the bound
+    fall back to the bit-identical jnp filters."""
     H, W = img.shape
+    # ~8 i32 live temporaries per pixel must fit the 48 MB VMEM limit; KITTI
+    # (376x1241 = 0.47 MP) uses ~20 MB. Fall back above ~1.2 MP.
+    if H * W > 1_200_000:
+        from . import filters
+
+        du, dv = filters.sobel5x5(img)
+        if not with_blob_checker:
+            return du, dv
+        return du, dv, filters.blob5x5(img), filters.checkerboard5x5(img)
     outs = [jax.ShapeDtypeStruct((H, W), jnp.uint8),
             jax.ShapeDtypeStruct((H, W), jnp.uint8)]
     if with_blob_checker:

@@ -51,7 +51,7 @@ def rotation_and_derivatives(tr: jnp.ndarray):
     return R, Rdx, Rdy, Rdz
 
 
-def residuals_and_jacobian(tr, pts, obs, wmask, calib):
+def residuals_and_jacobian(tr, pts, obs, wmask, calib, reweighting=True):
     """tr [...,6]; pts [...,M,3] previous-frame 3D; obs [...,M,4]
     (u1c,v1c,u2c,v2c); wmask [...,M] 0/1 row mask; calib [f,cu,cv,base].
 
@@ -66,9 +66,13 @@ def residuals_and_jacobian(tr, pts, obs, wmask, calib):
     X2c = X1c - base
     Z2 = Z1c * Z1c
 
-    # reweighting 1/(|u1c-cu|/|cu| + 0.05) (viso_stereo.cpp:267-269)
-    weight = 1.0 / (jnp.abs(obs[..., 0] - cu) / jnp.abs(cu) + 0.05)
-    weight = weight * wmask
+    # reweighting 1/(|u1c-cu|/|cu| + 0.05), weight=1 when disabled
+    # (viso_stereo.cpp:265-269, toggle viso_stereo.h:41)
+    if reweighting:
+        weight = 1.0 / (jnp.abs(obs[..., 0] - cu) / jnp.abs(cu) + 0.05)
+        weight = weight * wmask
+    else:
+        weight = wmask * jnp.ones_like(obs[..., 0])
 
     # derivative of Xc wrt the 6 params: rotations act on pts, translations
     # are unit vectors (viso_stereo.cpp:278-294)
@@ -113,7 +117,8 @@ def predict_observations(tr, pts, calib):
     ], axis=-1)
 
 
-def gn_solve(tr, pts, obs, wmask, calib, iters: int, eps: float):
+def gn_solve(tr, pts, obs, wmask, calib, iters: int, eps: float,
+             reweighting: bool = True):
     """Run the reference's iterate-until-converged loop with a static bound.
 
     Returns (tr, status [...]) where status follows the reference enum:
@@ -127,7 +132,8 @@ def gn_solve(tr, pts, obs, wmask, calib, iters: int, eps: float):
 
     def one_iter(state):
         it, tr, status = state
-        J, resid, _ = residuals_and_jacobian(tr, pts, obs, wmask, calib)
+        J, resid, _ = residuals_and_jacobian(tr, pts, obs, wmask, calib,
+                                             reweighting)
         Jf = J.reshape(J.shape[:-3] + (-1, 6))
         rf = resid.reshape(resid.shape[:-2] + (-1,))
         A = jnp.einsum("...ki,...kj->...ij", Jf, Jf)

@@ -3,8 +3,9 @@ no JAX). These play the role the scalar std::array backend plays for the
 reference's SIMD test (reference test/simd.cpp:49-136): an independent,
 obviously-correct implementation every accelerated kernel is diffed against.
 
-All filters are centered (see sfm_tpu/ops/filters.py docstring for the
-deliberate divergence from the reference's 2-row SIMD output shift).
+All filters are centered, exactly like the reference SIMD path (the
+`+w_chunk*4` offset in filter.cpp:195-196 is 2 rows of int16 — it centers the
+5-tap window; see sfm_tpu/ops/filters.py docstring).
 """
 
 import numpy as np

@@ -114,6 +114,34 @@ def test_short_tracks_rejected(rng):
     assert len(recon.get_points()) == 0
 
 
+def test_max_track_length_drives_window(rng):
+    """ReconstructionParams.max_track_length sizes the track table window:
+    tracks stop extending at the cap and finalize as usual (the reference's
+    max_track_length bound, reconstruction.h:118 with :97-103)."""
+    n_pts = 12
+    pts_w = np.stack([rng.uniform(-4, 4, n_pts), rng.uniform(-1, 1.4, n_pts),
+                      rng.uniform(6, 14, n_pts)], 1)
+    poses = [forward_pose(i) for i in range(9)]
+    eng = EngineConfig(max_tracks=128, max_features_dense=64)
+    recon = Reconstruction(ReconstructionParams(max_track_length=4), eng)
+    recon.set_calibration(F, CU, CV)
+    assert recon._state.px_u.shape[1] == 4
+    cap = 32
+    for k in range(1, 8):
+        visible = list(range(n_pts)) if k <= 6 else []
+        recon.update(make_matches(cap, pts_w, poses, k, visible),
+                     poses[k] @ np.linalg.inv(poses[k - 1]),
+                     point_type=0, min_track_length=2, max_dist=30,
+                     min_angle=0.0)
+        # lengths never exceed the configured window
+        assert int(np.asarray(recon._state.length).max()) <= 4
+    pts = recon.get_points()
+    assert len(pts) >= n_pts  # full tracks finalize at the cap and respawn
+    gt_cam = (poses[7][:3, :3] @ pts_w.T + poses[7][:3, 3:4]).T
+    d = np.linalg.norm(pts[:, None, :] - gt_cam[None, :, :], axis=-1)
+    assert np.median(d.min(axis=1)) < 0.1
+
+
 def test_track_capacity_overflow_drops_spawns(rng):
     eng = EngineConfig(max_tracks=8, max_features_dense=64)
     recon = Reconstruction(ReconstructionParams(), eng)

@@ -263,6 +263,7 @@ def _check_vo_parity(results, t_tol, r_tol, t_floor):
         n_ok_our = sum(o["ok"] for o in ours[1:])
         assert n_ok_our >= n_ok_ref - 1, (
             f"{name}: ours {n_ok_our} successes vs ref {n_ok_ref}")
+        n_fallback = 0
         for i in range(1, N_FRAMES):
             r, o, g = ref[i], ours[i], gt[i - 1]
             if not (r["ok"] and o["ok"]):
@@ -275,12 +276,19 @@ def _check_vo_parity(results, t_tol, r_tol, t_floor):
             # accept if we are at least as close to ground truth
             dr = _rot_angle(r["tr"][:3, :3].T @ o["tr"][:3, :3])
             if dr >= r_tol:
+                n_fallback += 1
                 dr_ref = _rot_angle(r["tr"][:3, :3].T @ g[:3, :3])
                 dr_our = _rot_angle(o["tr"][:3, :3].T @ g[:3, :3])
                 assert dr_our <= dr_ref + r_tol / 2, (
                     f"{name} frame {i}: rot diff {dr:.4f} rad "
                     f"(gt err ours {dr_our:.4f} vs ref {dr_ref:.4f})")
         assert len(our_errs) >= 4, f"{name}: too few joint successes"
+        # the GT-relative fallback is for isolated noisy frames; broad
+        # frame-by-frame divergence from the reference must still fail even
+        # if it happens to track GT better
+        assert n_fallback <= max(2, len(our_errs) // 4), (
+            f"{name}: {n_fallback}/{len(our_errs)} frames exceeded the "
+            f"direct ref<->ours rotation tolerance")
         ref_med = float(np.median(ref_errs))
         our_med = float(np.median(our_errs))
         assert our_med <= max(t_tol * ref_med, t_floor), (

@@ -98,6 +98,43 @@ class TestStereoVO:
             assert np.linalg.norm(est[:3, 3] - gt[:3, 3]) < 0.08, (i, est[:3, 3])
             assert np.abs(est[:3, :3] - np.eye(3)).max() < 0.02
 
+    def test_reweighting_toggle(self):
+        """StereoParams.reweighting must actually switch the GN weighting
+        (viso_stereo.cpp:265-269, toggle viso_stereo.h:41): off = unit
+        weights, on = the 1/(|u-cu|/|cu|+0.05) taper."""
+        import jax.numpy as jnp
+
+        from sfm_tpu.ops.stereo_gn import residuals_and_jacobian
+
+        rng = np.random.RandomState(5)
+        tr = jnp.asarray(rng.uniform(-0.05, 0.05, 6), jnp.float32)
+        pts = jnp.asarray(rng.uniform([-3, -1, 4], [3, 1, 12], (8, 3)),
+                          jnp.float32)
+        obs = jnp.asarray(rng.uniform([0, 0, 0, 0], [320, 160, 320, 160],
+                                      (8, 4)), jnp.float32)
+        wmask = jnp.ones(8, jnp.float32)
+        calib = jnp.asarray([166.0, 160.0, 80.0, 0.5], jnp.float32)
+        _, r_off, pred = residuals_and_jacobian(tr, pts, obs, wmask, calib,
+                                                reweighting=False)
+        _, r_on, _ = residuals_and_jacobian(tr, pts, obs, wmask, calib,
+                                            reweighting=True)
+        np.testing.assert_allclose(np.asarray(r_off), np.asarray(obs - pred),
+                                   rtol=1e-6)
+        w = 1.0 / (np.abs(np.asarray(obs)[:, 0] - 160.0) / 160.0 + 0.05)
+        np.testing.assert_allclose(
+            np.asarray(r_on), w[:, None] * np.asarray(obs - pred), rtol=1e-5)
+
+        # end-to-end: reweighting=False still estimates the motion
+        left, right, poses = make_sequence(3, SCENE, step=0.5, baseline=0.5)
+        from sfm_tpu.models.stereo import VisualOdometryStereo
+
+        params = StereoParams(calib=CAL, base=0.5, reweighting=False)
+        vo = VisualOdometryStereo(params, ENGINE, dims=(W, H))
+        vo.process(left[0], right[0])
+        assert vo.process(left[1], right[1])
+        gt = poses[1] @ np.linalg.inv(poses[0])
+        assert np.linalg.norm(vo.get_motion()[:3, 3] - gt[:3, 3]) < 0.08
+
     def test_tr_prior_quad_prediction(self):
         """Second process() call uses Tr_delta prediction (viso_stereo.cpp:35)."""
         from sfm_tpu.models.stereo import VisualOdometryStereo
