@@ -102,6 +102,18 @@ def patch_cases():
     check("extract_patches/borders",
           np.array_equal(np.asarray(pdu), ref_u)
           and np.array_equal(np.asarray(pdv), ref_v))
+    # count gating: prefix blocks exact, fully-dead blocks zeroed
+    cnt = 700  # covers blocks 0..2 fully, block 2 partially at block=256
+    gdu, gdv = extract_patches_pallas(
+        jnp.asarray(du), jnp.asarray(dv), jnp.asarray(u0), jnp.asarray(v0),
+        jnp.int32(cnt), block=256)
+    live = (cnt + 255) // 256 * 256  # whole blocks containing live rows
+    check("extract_patches/count_prefix",
+          np.array_equal(np.asarray(gdu)[:cnt], ref_u[:cnt])
+          and np.array_equal(np.asarray(gdv)[:cnt], ref_v[:cnt]))
+    check("extract_patches/count_tail_zero",
+          np.all(np.asarray(gdu)[live:] == 0.0)
+          and np.all(np.asarray(gdv)[live:] == 0.0))
 
 
 def plane_cases():

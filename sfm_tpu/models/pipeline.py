@@ -135,14 +135,14 @@ def _make_mono_step_core(w: int, h: int, params: MonoParams,
                 u1p, v1p, ok = parabolic_fitting_prefix(
                     cur.du_full, cur.dv_full, prev.du_full, prev.dv_full,
                     m2.u1c, m2.v1c, m2.u1p, m2.v1p,
-                    jnp.float32(w), jnp.float32(h), window=rw)
+                    jnp.float32(w), jnp.float32(h), window=rw, count=m2.count)
                 return compact_matches(
                     m2._replace(u1p=u1p, v1p=v1p, valid=m2.valid & ok),
                     engine.max_matches)
             u1p, v1p = relocate_minimum_prefix(
                 cur.du_full, cur.dv_full, prev.du_full, prev.dv_full,
                 m2.u1c, m2.v1c, m2.u1p, m2.v1p,
-                jnp.float32(w), jnp.float32(h), window=rw)
+                jnp.float32(w), jnp.float32(h), window=rw, count=m2.count)
             return m2._replace(u1p=u1p, v1p=v1p)
 
         if p.refinement > 0 and engine.refine_pre_filter:
@@ -152,15 +152,17 @@ def _make_mono_step_core(w: int, h: int, params: MonoParams,
         m2 = _outliers(m2, 0, p.outlier_flow_tolerance,
                        p.outlier_disp_tolerance, engine.max_matches, mode,
                        engine)
+        # post-bucket table capacity = refine_window (see stereo core note)
+        cap_pb = min(engine.refine_window, engine.max_matches)
         m2 = bucket_matches(m2, k_bucket, params.bucket.max_features,
                             params.bucket.bucket_width,
-                            params.bucket.bucket_height, engine.max_matches)
+                            params.bucket.bucket_height, cap_pb)
         # fast path refines AFTER filtering/bucketing (fewer matches to
         # patch-gather; the +-2 px moves are well inside the 5 px outlier
         # tolerances, so filter results are equivalent in practice — pinned
         # by tests/test_sequence_and_placement.py)
         if p.refinement > 0 and not engine.refine_pre_filter:
-            m2 = refine(m2, engine.refine_window)
+            m2 = refine(m2, cap_pb)
         res = mono_estimate_motion(
             m2, k_ransac, calib, jnp.float32(params.height),
             jnp.float32(params.pitch), jnp.float32(params.inlier_threshold),
@@ -357,6 +359,77 @@ def make_stereo_sequence_fn(w: int, h: int, params: StereoParams,
     return jax.jit(seq)
 
 
+def make_stereo_match_step(w: int, h: int, params, engine: EngineConfig):
+    """Fused single-dispatch STEREO-ONLY matching (method=1): the pipeline
+    equivalent of Matcher.match_features(1) (reference matcher.cpp:1045-1084
+    closure inside matchFeatures, matcher.cpp:183-241).
+
+        (I1, I2) -> (cur_l: FrameFeatures, cur_r: FrameFeatures,
+                     matches: Matches)
+
+    No temporal state: method=1 matches the CURRENT left/right pair only.
+    Stage order is the reference's (two-pass sparse->dense, refinement
+    before the second outlier pass). `params` is a MatcherParams (pure
+    matching has no VO parameters).
+    """
+    p = params
+    radius = p.match_radius / 2 if p.half_resolution else p.match_radius
+    nbu = -(-w // p.match_binsize)
+    nbv = -(-h // p.match_binsize)
+    kw = dict(w=w, h=h, binsize=p.match_binsize, nbu=nbu, nbv=nbv,
+              radius=float(radius), disp_tol=float(p.match_disp_tolerance),
+              cap=engine.max_matches)
+    mode = engine.outlier_mode
+
+    def detect(img):
+        return detect_features(
+            img, w=w, h=h, nms_n=p.nms_n, nms_tau=p.nms_tau,
+            multi_stage=p.multi_stage, half_resolution=p.half_resolution,
+            cap_sparse=engine.max_features_sparse,
+            cap_dense=engine.max_features_dense)
+
+    def step(I1, I2):
+        cur_l = detect(I1)
+        cur_r = detect(I2)
+        if p.multi_stage:
+            m1 = match_stereo(cur_l.sparse, cur_r.sparse, None,
+                              use_rt=False, **kw)
+            m1 = _outliers(m1, 1, p.outlier_flow_tolerance,
+                           p.outlier_disp_tolerance, engine.max_matches,
+                           mode, engine, limit=engine.max_features_sparse)
+            rt = compute_prior_statistics(
+                m1, method=1, n_bins_u=nbu, n_bins_v=nbv,
+                binsize=p.match_binsize, match_radius=float(radius))
+            m2 = match_stereo(cur_l.dense, cur_r.dense, rt, use_rt=True, **kw)
+        else:
+            m2 = match_stereo(cur_l.dense, cur_r.dense, None,
+                              use_rt=False, **kw)
+        if p.refinement > 0:
+            # method=1 refines the right-image coordinate u2c/v2c on the
+            # full-res gradients (matcher.cpp:1516-1527 target selection)
+            wf, hf = jnp.float32(w), jnp.float32(h)
+            if p.refinement == 2:
+                u2c, v2c, ok = parabolic_fitting_prefix(
+                    cur_l.du_full, cur_l.dv_full, cur_r.du_full,
+                    cur_r.dv_full, m2.u1c, m2.v1c, m2.u2c, m2.v2c, wf, hf,
+                    count=m2.count)
+                m2 = compact_matches(
+                    m2._replace(u2c=u2c, v2c=v2c, valid=m2.valid & ok),
+                    engine.max_matches)
+            else:
+                u2c, v2c = relocate_minimum_prefix(
+                    cur_l.du_full, cur_l.dv_full, cur_r.du_full,
+                    cur_r.dv_full, m2.u1c, m2.v1c, m2.u2c, m2.v2c, wf, hf,
+                    count=m2.count)
+                m2 = m2._replace(u2c=u2c, v2c=v2c)
+        m2 = _outliers(m2, 1, p.outlier_flow_tolerance,
+                       p.outlier_disp_tolerance, engine.max_matches, mode,
+                       engine)
+        return cur_l, cur_r, m2
+
+    return jax.jit(step)
+
+
 def make_stereo_frame_step_staged(w: int, h: int, params: StereoParams,
                                   engine: EngineConfig):
     """Reference-faithful Delaunay outlier mode for runtimes WITHOUT host
@@ -444,27 +517,29 @@ def _make_stereo_tail(w, h, params, engine, calib4, kw):
         k_bucket, k_ransac = jax.random.split(key)
         m2 = compact_matches(m2._replace(valid=m2.valid & keep2),
                              engine.max_matches)
+        # post-bucket table capacity = refine_window (see stereo core note)
         m2 = bucket_matches(m2, k_bucket, params.bucket.max_features,
                             params.bucket.bucket_width,
-                            params.bucket.bucket_height, engine.max_matches)
+                            params.bucket.bucket_height,
+                            min(engine.refine_window, engine.max_matches))
         if p.refinement > 0:
             rw = min(engine.refine_window, engine.max_matches)
             ref = small_ref_descriptors(cur_l.du_full, cur_l.dv_full,
-                                        m2.u1c[:rw], m2.v1c[:rw])
+                                        m2.u1c[:rw], m2.v1c[:rw], count=m2.count)
             wf, hf = jnp.float32(w), jnp.float32(h)
             if p.refinement == 2:
                 u1p, v1p, ok1 = parabolic_fitting_prefix(
                     cur_l.du_full, cur_l.dv_full, prev_l.du_full,
                     prev_l.dv_full, m2.u1c, m2.v1c, m2.u1p, m2.v1p,
-                    wf, hf, window=rw, ref=ref)
+                    wf, hf, window=rw, ref=ref, count=m2.count)
                 u2c, v2c, ok2 = parabolic_fitting_prefix(
                     cur_l.du_full, cur_l.dv_full, cur_r.du_full,
                     cur_r.dv_full, m2.u1c, m2.v1c, m2.u2c, m2.v2c,
-                    wf, hf, window=rw, ref=ref)
+                    wf, hf, window=rw, ref=ref, count=m2.count)
                 u2p, v2p, ok3 = parabolic_fitting_prefix(
                     cur_l.du_full, cur_l.dv_full, prev_r.du_full,
                     prev_r.dv_full, m2.u1c, m2.v1c, m2.u2p, m2.v2p,
-                    wf, hf, window=rw, ref=ref)
+                    wf, hf, window=rw, ref=ref, count=m2.count)
                 m2 = compact_matches(
                     m2._replace(u1p=u1p, v1p=v1p, u2c=u2c, v2c=v2c,
                                 u2p=u2p, v2p=v2p,
@@ -474,15 +549,15 @@ def _make_stereo_tail(w, h, params, engine, calib4, kw):
                 u1p, v1p = relocate_minimum_prefix(
                     cur_l.du_full, cur_l.dv_full, prev_l.du_full,
                     prev_l.dv_full, m2.u1c, m2.v1c, m2.u1p, m2.v1p,
-                    wf, hf, window=rw, ref=ref)
+                    wf, hf, window=rw, ref=ref, count=m2.count)
                 u2c, v2c = relocate_minimum_prefix(
                     cur_l.du_full, cur_l.dv_full, cur_r.du_full,
                     cur_r.dv_full, m2.u1c, m2.v1c, m2.u2c, m2.v2c,
-                    wf, hf, window=rw, ref=ref)
+                    wf, hf, window=rw, ref=ref, count=m2.count)
                 u2p, v2p = relocate_minimum_prefix(
                     cur_l.du_full, cur_l.dv_full, prev_r.du_full,
                     prev_r.dv_full, m2.u1c, m2.v1c, m2.u2p, m2.v2p,
-                    wf, hf, window=rw, ref=ref)
+                    wf, hf, window=rw, ref=ref, count=m2.count)
                 m2 = m2._replace(u1p=u1p, v1p=v1p, u2c=u2c, v2c=v2c,
                                  u2p=u2p, v2p=v2p)
         res = stereo_estimate_motion(
@@ -553,21 +628,21 @@ def _make_stereo_step_core(w: int, h: int, params: StereoParams,
             # all three relocations share the same reference descriptor
             # (cur-left at u1c/v1c); extract it once
             ref = small_ref_descriptors(cur_l.du_full, cur_l.dv_full,
-                                        m2.u1c[:rw], m2.v1c[:rw])
+                                        m2.u1c[:rw], m2.v1c[:rw], count=m2.count)
             wf, hf = jnp.float32(w), jnp.float32(h)
             if p.refinement == 2:
                 u1p, v1p, ok1 = parabolic_fitting_prefix(
                     cur_l.du_full, cur_l.dv_full, prev_l.du_full,
                     prev_l.dv_full, m2.u1c, m2.v1c, m2.u1p, m2.v1p,
-                    wf, hf, window=rw, ref=ref)
+                    wf, hf, window=rw, ref=ref, count=m2.count)
                 u2c, v2c, ok2 = parabolic_fitting_prefix(
                     cur_l.du_full, cur_l.dv_full, cur_r.du_full,
                     cur_r.dv_full, m2.u1c, m2.v1c, m2.u2c, m2.v2c,
-                    wf, hf, window=rw, ref=ref)
+                    wf, hf, window=rw, ref=ref, count=m2.count)
                 u2p, v2p, ok3 = parabolic_fitting_prefix(
                     cur_l.du_full, cur_l.dv_full, prev_r.du_full,
                     prev_r.dv_full, m2.u1c, m2.v1c, m2.u2p, m2.v2p,
-                    wf, hf, window=rw, ref=ref)
+                    wf, hf, window=rw, ref=ref, count=m2.count)
                 return compact_matches(
                     m2._replace(u1p=u1p, v1p=v1p, u2c=u2c, v2c=v2c,
                                 u2p=u2p, v2p=v2p,
@@ -576,15 +651,15 @@ def _make_stereo_step_core(w: int, h: int, params: StereoParams,
             u1p, v1p = relocate_minimum_prefix(
                 cur_l.du_full, cur_l.dv_full, prev_l.du_full,
                 prev_l.dv_full, m2.u1c, m2.v1c, m2.u1p, m2.v1p,
-                wf, hf, window=rw, ref=ref)
+                wf, hf, window=rw, ref=ref, count=m2.count)
             u2c, v2c = relocate_minimum_prefix(
                 cur_l.du_full, cur_l.dv_full, cur_r.du_full,
                 cur_r.dv_full, m2.u1c, m2.v1c, m2.u2c, m2.v2c,
-                wf, hf, window=rw, ref=ref)
+                wf, hf, window=rw, ref=ref, count=m2.count)
             u2p, v2p = relocate_minimum_prefix(
                 cur_l.du_full, cur_l.dv_full, prev_r.du_full,
                 prev_r.dv_full, m2.u1c, m2.v1c, m2.u2p, m2.v2p,
-                wf, hf, window=rw, ref=ref)
+                wf, hf, window=rw, ref=ref, count=m2.count)
             return m2._replace(u1p=u1p, v1p=v1p, u2c=u2c, v2c=v2c,
                                u2p=u2p, v2p=v2p)
 
@@ -595,12 +670,17 @@ def _make_stereo_step_core(w: int, h: int, params: StereoParams,
         m2 = _outliers(m2, 2, p.outlier_flow_tolerance,
                        p.outlier_disp_tolerance, engine.max_matches, mode,
                        engine)
+        # bucketing compacts into a refine_window-capacity table: the window
+        # must cover every post-filter match anyway (config.py note), and the
+        # smaller static table halves the row work of refinement + the whole
+        # estimate stage (RANSAC scoring, final GN)
+        cap_pb = min(engine.refine_window, engine.max_matches)
         m2 = bucket_matches(m2, k_bucket, params.bucket.max_features,
                             params.bucket.bucket_width,
-                            params.bucket.bucket_height, engine.max_matches)
+                            params.bucket.bucket_height, cap_pb)
         # fast path refines AFTER filtering/bucketing (see mono note)
         if p.refinement > 0 and not engine.refine_pre_filter:
-            m2 = refine(m2, min(engine.refine_window, engine.max_matches))
+            m2 = refine(m2, cap_pb)
         res = stereo_estimate_motion(
             m2, k_ransac, calib4, jnp.float32(params.inlier_threshold),
             ransac_iters=params.ransac_iters,

@@ -384,15 +384,21 @@ def bucket_matches(
     cap: int,
 ) -> Matches:
     """Keep <= max_features random matches per (bucket_width x bucket_height)
-    bucket of (u1c, v1c), emitted bucket-major (matcher.cpp:243-284).
+    bucket of (u1c, v1c) (matcher.cpp:243-284).
 
-    The reference shuffles each bucket with the global rand(); we use a
-    counter-based PRNG key for determinism.
+    The reference shuffles each bucket with the global rand() and emits
+    bucket-major; we use a counter-based PRNG key for determinism and emit in
+    index order (downstream consumers are order-insensitive: RANSAC draws by
+    PRNG, GN/reconstruction key on indices).
+
+    Sort-free: the random rank within each bucket is computed with one dense
+    [n, n] compare+reduce on the VPU (a lexsort + 12 per-field permutation
+    gathers measured slower: 1-D gathers serialize on TPU).
     """
     n = m.u1c.shape[0]
     if max_features >= n:
         # keeps every match (the CLI/bench "disable bucketing" setting,
-        # main.cpp:71); skip the TPU sort, only emission order differs
+        # main.cpp:71); only emission order differs
         return compact_matches(m, cap)
     # bucket ids (cols from max coordinate, matcher.cpp:246-255)
     u_max = jnp.max(jnp.where(m.valid, m.u1c, 0.0))
@@ -402,26 +408,14 @@ def bucket_matches(
     bid = jnp.where(m.valid, bv * cols + bu, jnp.int32(2 ** 30))
 
     r = jax.random.uniform(key, (n,))
-    # sort by (bucket, random) -> random rank within each bucket
-    order = jnp.lexsort((r, bid))
-    bid_s = bid[order]
-    # rank within each equal-bid run = row index minus the run's start; the
-    # start index equals the count of rows in strictly smaller runs. The
-    # dense [n, n] compare+reduce fuses on the VPU (maximum.accumulate
-    # lowers to a serialized n-iteration while loop on TPU; was ~30% of the
-    # fused stereo frame step)
-    seg_start = jnp.sum(
-        (bid_s[None, :] < bid_s[:, None]).astype(jnp.float32), axis=1
-    ).astype(jnp.int32)
-    rank = jnp.arange(n, dtype=jnp.int32) - seg_start
-    keep_sorted = (rank < max_features) & m.valid[order]
-
-    def g(x):
-        return x[order]
-
-    sel = Matches(
-        g(m.u1p), g(m.v1p), g(m.i1p), g(m.u2p), g(m.v2p), g(m.i2p),
-        g(m.u1c), g(m.v1c), g(m.i1c), g(m.u2c), g(m.v2c), g(m.i2c),
-        valid=keep_sorted, count=jnp.sum(keep_sorted.astype(jnp.int32)),
-    )
-    return compact_matches(sel, cap)
+    ar = jnp.arange(n, dtype=jnp.int32)
+    # rank of row i inside its bucket = count of same-bucket valid rows with
+    # a strictly smaller (random, index) key
+    same = bid[None, :] == bid[:, None]
+    smaller = (r[None, :] < r[:, None]) | (
+        (r[None, :] == r[:, None]) & (ar[None, :] < ar[:, None]))
+    rank = jnp.sum(
+        (same & smaller & m.valid[None, :]).astype(jnp.float32), axis=1)
+    keep = m.valid & (rank < max_features)
+    return compact_matches(
+        m._replace(valid=keep, count=jnp.sum(keep.astype(jnp.int32))), cap)

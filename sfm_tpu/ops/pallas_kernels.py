@@ -179,14 +179,24 @@ def sad_argmin_pallas(
 PATCH = 16  # fixed window size; covers the 9x9 (pixel) / 13x13 (subpixel) need
 
 
-def _patch_kernel(u_ref, v_ref, du_ref, dv_ref, pdu_ref, pdv_ref, *,
+def _patch_kernel(cnt_ref, u_ref, v_ref, du_ref, dv_ref, pdu_ref, pdv_ref, *,
                   unroll: int):
     """Per grid step: extract PATCH x PATCH windows of du/dv for a block of
     matches. Row window via dynamic sublane slice; column window via a
     128-aligned lane slice followed by a one-hot lane-extraction matmul
-    (XLA lowers per-match patch gathers to ~8 ns/element scalar loops)."""
+    (XLA lowers per-match patch gathers to ~8 ns/element scalar loops).
+
+    Blocks wholly beyond the valid-match count (tables are compacted, so
+    valid rows are a prefix) write zeros and skip the per-match work — the
+    static table capacity stops costing for the invalid tail."""
     B = pdu_ref.shape[0]
     i = pl.program_id(0)
+    active = i * B < cnt_ref[0]
+
+    @pl.when(jnp.logical_not(active))
+    def _():
+        pdu_ref[:] = jnp.zeros_like(pdu_ref)
+        pdv_ref[:] = jnp.zeros_like(pdv_ref)
     # vector loads need 8-aligned sublane and 128-aligned lane starts; the
     # residual offsets are folded into the two one-hot selection matmuls.
     # bf16 selections/operands are exact for u8 pixel values; accumulation
@@ -221,20 +231,27 @@ def _patch_kernel(u_ref, v_ref, du_ref, dv_ref, pdu_ref, pdv_ref, *,
             one(jj * unroll + k)
         return ()
 
-    jax.lax.fori_loop(0, B // unroll, body, ())
+    @pl.when(active)
+    def _():
+        jax.lax.fori_loop(0, B // unroll, body, ())
 
 
 @functools.partial(jax.jit, static_argnames=("block", "unroll"))
-def extract_patches_pallas(du, dv, u0, v0, block: int = 1024,
+def extract_patches_pallas(du, dv, u0, v0, count=None, block: int = 256,
                            unroll: int = 8):
     """[M, PATCH, PATCH] f32 windows of du/dv with top-left (v0, u0) per match.
 
     du, dv: [H, W] (any real dtype; u8-range values assumed, staged as bf16).
     u0/v0 are clipped so the window stays in-bounds (callers mask
-    out-of-margin matches anyway).
+    out-of-margin matches anyway). `count` (traced i32, default M): number of
+    valid rows in the (compacted) match prefix — blocks wholly beyond it
+    write zeros instead of gathering, so capacity padding costs ~nothing.
     """
     H, W = du.shape
     M = u0.shape[0]
+    if count is None:
+        count = jnp.int32(M)
+    cnt = jnp.reshape(jnp.minimum(jnp.asarray(count, jnp.int32), M), (1,))
     # pad so every 128-aligned lane base has 256 readable lanes and every
     # row start has PATCH readable rows; reads past (H, W) hit zeros but
     # only land in the unused tail of the fixed-size window, so in-bounds
@@ -256,6 +273,7 @@ def extract_patches_pallas(du, dv, u0, v0, block: int = 1024,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((Hp, Wp), lambda i: (0, 0)),
             pl.BlockSpec((Hp, Wp), lambda i: (0, 0)),
         ],
@@ -268,7 +286,7 @@ def extract_patches_pallas(du, dv, u0, v0, block: int = 1024,
             jax.ShapeDtypeStruct((M, PATCH, PATCH), jnp.float32),
         ],
         interpret=_interpret(),
-    )(uc, vc, duf, dvf)
+    )(cnt, uc, vc, duf, dvf)
     return pdu, pdv
 
 

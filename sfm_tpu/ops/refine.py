@@ -48,37 +48,39 @@ def _patches(img, u0, v0, r: int):
     return jnp.take(img.reshape(-1), idx, axis=0).astype(jnp.float32)
 
 
-def small_ref_descriptors(du1, dv1, u1, v1):
+def small_ref_descriptors(du1, dv1, u1, v1, count=None):
     """[M, 16] f32 small descriptor at integer (u1, v1).
 
     TPU path: one Pallas patch extraction + 16 static picks (the flat
-    16-sample gather serializes on TPU)."""
+    16-sample gather serializes on TPU). `count` (traced): valid prefix
+    length — the kernel skips blocks beyond it."""
     iu1 = u1.astype(jnp.int32)
     iv1 = v1.astype(jnp.int32)
     if jax.default_backend() == "tpu":
         from .pallas_kernels import extract_patches_pallas
 
-        pdu, pdv = extract_patches_pallas(du1, dv1, iu1 - 2, iv1 - 2)
+        pdu, pdv = extract_patches_pallas(du1, dv1, iu1 - 2, iv1 - 2, count)
         P = (pdu, pdv)
         return jnp.stack(
             [P[ch][:, dy + 2, dx + 2] for ch, dx, dy in _SAMPLES], axis=1)
     return compute_small_descriptors(du1, dv1, iu1, iv1).astype(jnp.float32)
 
 
-def _cost_surface(du1, dv1, du2, dv2, u1, v1, u2, v2, g: int, ref=None):
+def _cost_surface(du1, dv1, du2, dv2, u1, v1, u2, v2, g: int, ref=None,
+                  count=None):
     """[M, 2g+1, 2g+1] SAD cost of the small descriptor at (u1,v1) in image 1
     vs positions (u2+du, v2+dv), |du|,|dv| <= g, in image 2."""
     iu2 = u2.astype(jnp.int32)
     iv2 = v2.astype(jnp.int32)
     if ref is None:
-        ref = small_ref_descriptors(du1, dv1, u1, v1)
+        ref = small_ref_descriptors(du1, dv1, u1, v1, count)
     r = g + 2  # descriptor samples reach +-2 around each candidate
     if jax.default_backend() == "tpu":
         from .pallas_kernels import extract_patches_pallas
 
         # fixed 16x16 window with top-left (v2-r, u2-r); sample (dy, dx) of
         # candidate (dv, du) sits at [dv+dy+r, du+dx+r] relative to top-left
-        pdu, pdv = extract_patches_pallas(du2, dv2, iu2 - r, iv2 - r)
+        pdu, pdv = extract_patches_pallas(du2, dv2, iu2 - r, iv2 - r, count)
         P = [pdu, pdv]
         base = r - g  # == 2 for both window sizes
     else:
@@ -98,17 +100,19 @@ def relocate_minimum(
     du1, dv1, du2, dv2,
     u1, v1, u2, v2,
     w2: jnp.ndarray, h2: jnp.ndarray,
-    ref=None,
+    ref=None, count=None,
 ):
     """Vectorized relocateMinimum. Returns updated (u2, v2).
 
     Out-of-margin targets are left unchanged (matcher.cpp:1464-1465).
     `ref` optionally supplies precomputed small_ref_descriptors(du1, dv1,
-    u1, v1) so callers refining several targets share one extraction."""
+    u1, v1) so callers refining several targets share one extraction;
+    `count` is the valid-prefix length for kernel block skipping."""
     m = jnp.float32(MARGIN)
     feasible = ((u2 - 2 >= m) & (u2 + 2 <= w2 - 1 - m) &
                 (v2 - 2 >= m) & (v2 + 2 <= h2 - 1 - m))
-    cost = _cost_surface(du1, dv1, du2, dv2, u1, v1, u2, v2, 2, ref)  # [M,5,5]
+    cost = _cost_surface(du1, dv1, du2, dv2, u1, v1, u2, v2, 2, ref,
+                         count)  # [M,5,5]
     flat = cost.reshape(cost.shape[0], 25)
     best = jnp.argmin(flat, axis=1).astype(jnp.float32)  # dv-major, first-min
     du_off = jnp.mod(best, 5.0) - 2.0
@@ -118,32 +122,32 @@ def relocate_minimum(
 
 
 def relocate_minimum_prefix(du1, dv1, du2, dv2, u1, v1, u2, v2, w2, h2,
-                            window: int | None = None, ref=None):
+                            window: int | None = None, ref=None, count=None):
     """relocate_minimum on the first `window` (compacted) matches only; the
     tail passes through unrefined. The patch gathers are the most
     gather-bound op in the frame, and valid matches live in a prefix."""
     n = u1.shape[0]
     if window is None or window >= n:
         return relocate_minimum(du1, dv1, du2, dv2, u1, v1, u2, v2, w2, h2,
-                                ref)
+                                ref, count)
     un, vn = relocate_minimum(du1, dv1, du2, dv2, u1[:window], v1[:window],
-                              u2[:window], v2[:window], w2, h2, ref)
+                              u2[:window], v2[:window], w2, h2, ref, count)
     return (jnp.concatenate([un, u2[window:]]),
             jnp.concatenate([vn, v2[window:]]))
 
 
 def parabolic_fitting_prefix(du1, dv1, du2, dv2, u1, v1, u2, v2, w2, h2,
-                             window: int | None = None, ref=None):
+                             window: int | None = None, ref=None, count=None):
     """parabolic_fitting on the first `window` (compacted) matches; the tail
     passes through unrefined with ok=True (valid matches live in a prefix,
     see relocate_minimum_prefix)."""
     n = u1.shape[0]
     if window is None or window >= n:
         return parabolic_fitting(du1, dv1, du2, dv2, u1, v1, u2, v2, w2, h2,
-                                 ref)
+                                 ref, count)
     un, vn, ok = parabolic_fitting(du1, dv1, du2, dv2, u1[:window],
                                    v1[:window], u2[:window], v2[:window],
-                                   w2, h2, ref)
+                                   w2, h2, ref, count)
     pad_ok = jnp.ones((n - window,), bool)
     return (jnp.concatenate([un, u2[window:]]),
             jnp.concatenate([vn, v2[window:]]),
@@ -168,7 +172,7 @@ def parabolic_fitting(
     du1, dv1, du2, dv2,
     u1, v1, u2, v2,
     w2: jnp.ndarray, h2: jnp.ndarray,
-    ref=None,
+    ref=None, count=None,
 ):
     """Vectorized parabolicFitting. Returns (u2', v2', ok).
 
@@ -178,7 +182,8 @@ def parabolic_fitting(
     m = jnp.float32(MARGIN)
     feasible = ((u2 - 3 >= m) & (u2 + 3 <= w2 - 1 - m) &
                 (v2 - 3 >= m) & (v2 + 3 <= h2 - 1 - m))
-    cost = _cost_surface(du1, dv1, du2, dv2, u1, v1, u2, v2, 3, ref)  # [M,7,7]
+    cost = _cost_surface(du1, dv1, du2, dv2, u1, v1, u2, v2, 3, ref,
+                         count)  # [M,7,7]
     M = cost.shape[0]
     flat = cost.reshape(M, 49)
     best = jnp.argmin(flat, axis=1).astype(jnp.int32)

@@ -28,6 +28,17 @@ class KittiSequence:
     base: float
     poses_gt: np.ndarray | None  # [N, 4, 4] cam0->world
 
+    def loaders(self):
+        """(left, right) ImageSequenceLoaders over the sequence frames
+        (right is None for mono sequences). One call away from eval:
+        benchmarks/kitti_eval.py drives VO over these."""
+        from .io import ImageSequenceLoader
+
+        left = ImageSequenceLoader(self.image_dir_left)
+        right = (ImageSequenceLoader(self.image_dir_right)
+                 if self.image_dir_right else None)
+        return left, right
+
 
 def load_sequence(root: str, seq: str) -> KittiSequence:
     sdir = os.path.join(root, "sequences", seq)

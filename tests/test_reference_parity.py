@@ -159,6 +159,39 @@ def test_flow_match_parity(ref_dump_bin, scenes, tmp_path):
         assert cov_or >= 0.9, f"frame {i}: ours->ref coverage {cov_or:.3f}"
 
 
+def test_stereo_match_parity_fused(ref_dump_bin, scenes, tmp_path):
+    """Fused method=1 pipeline (make_stereo_match_step) vs the reference
+    matchFeatures(1) dump (matcher.cpp:1045-1084) — closes the last
+    class-path-only capability (VERDICT r3 item 7)."""
+    import jax.numpy as jnp
+
+    from sfm_tpu.models.pipeline import make_stereo_match_step
+
+    left, right, _, d = scenes["forward"]
+    subprocess.run([ref_dump_bin, "match", d, "3", "1",
+                    str(F), str(CU), str(CV), str(BASE), str(tmp_path)],
+                   check=True, capture_output=True)
+    params = MatcherParams(f=F, cu=CU, cv=CV, base=BASE)
+    eng = EngineConfig(max_features_dense=1024, max_features_sparse=256,
+                       max_matches=1024, outlier_mode="delaunay")
+    step = make_stereo_match_step(W, H, params, eng)
+    for i in (1, 2):
+        _, _, m = step(jnp.asarray(left[i]), jnp.asarray(right[i]))
+        ours = _valid_matches(m)
+        assert len(ours["u1c"]) > 50
+        ref = np.loadtxt(tmp_path / f"matches_{i:04d}.txt")
+        assert len(ref) > 50
+        r_cur = ref[:, [6, 7]]
+        # current disparity as the agreement vector (method=1 has no flow)
+        r_vec = np.stack([ref[:, 6] - ref[:, 9]], 1)
+        o_cur = np.stack([ours["u1c"], ours["v1c"]], 1)
+        o_vec = np.stack([ours["u1c"] - ours["u2c"]], 1)
+        cov_ro = _coverage(r_cur, o_cur, r_vec, o_vec)
+        cov_or = _coverage(o_cur, r_cur, o_vec, r_vec)
+        assert cov_ro >= 0.9, f"frame {i}: ref->ours coverage {cov_ro:.3f}"
+        assert cov_or >= 0.9, f"frame {i}: ours->ref coverage {cov_or:.3f}"
+
+
 def test_quad_match_parity(ref_dump_bin, scenes, tmp_path):
     left, right, _, d = scenes["forward"]
     subprocess.run([ref_dump_bin, "match", d, "3", "2",
