@@ -81,20 +81,21 @@ def build_step(w, h, params, engine, *, refine_on=True, estimate_on=True,
                                 params.bucket.bucket_height, cap_pb)
         if refine_on and p.refinement > 0:
             ref = small_ref_descriptors(cur_l.du_full, cur_l.dv_full,
-                                        m2.u1c[:cap_pb], m2.v1c[:cap_pb])
+                                        m2.u1c[:cap_pb], m2.v1c[:cap_pb],
+                                        count=m2.count)
             wf, hf = jnp.float32(w), jnp.float32(h)
             u1p, v1p = relocate_minimum_prefix(
                 cur_l.du_full, cur_l.dv_full, prev_l.du_full,
                 prev_l.dv_full, m2.u1c, m2.v1c, m2.u1p, m2.v1p,
-                wf, hf, window=cap_pb, ref=ref)
+                wf, hf, window=cap_pb, ref=ref, count=m2.count)
             u2c, v2c = relocate_minimum_prefix(
                 cur_l.du_full, cur_l.dv_full, cur_r.du_full,
                 cur_r.dv_full, m2.u1c, m2.v1c, m2.u2c, m2.v2c,
-                wf, hf, window=cap_pb, ref=ref)
+                wf, hf, window=cap_pb, ref=ref, count=m2.count)
             u2p, v2p = relocate_minimum_prefix(
                 cur_l.du_full, cur_l.dv_full, prev_r.du_full,
                 prev_r.dv_full, m2.u1c, m2.v1c, m2.u2p, m2.v2p,
-                wf, hf, window=cap_pb, ref=ref)
+                wf, hf, window=cap_pb, ref=ref, count=m2.count)
             m2 = m2._replace(u1p=u1p, v1p=v1p, u2c=u2c, v2c=v2c,
                              u2p=u2p, v2p=v2p)
         if estimate_on:

@@ -77,6 +77,28 @@ def sad_cases():
     d2_dup = jnp.tile(d2[:64], (8, 1))
     both(jnp.ones(n2, bool), -3000, 3000, "tie_break_duplicates", d2_=d2_dup)
 
+    # count gating: prefix-compacted tables; rows < count1 must match the
+    # oracle run on the same (masked) inputs, rows >= count1 keep the
+    # no-match init
+    cnt1, cnt2 = 180, 300
+    valid2g = jnp.arange(n2) < cnt2
+    args = (d1, c1, u1 - 120, u1 + 120, v1 - 200, v1 + 200, t_u, t_v,
+            d2, u2, v2, c2, valid2g)
+    idx_ref, cost_ref = matching.sad_argmin_pass(*args, chunk=64)
+    idx_g, cost_g = sad_argmin_pallas(
+        *args, count1=jnp.int32(cnt1), count2=jnp.int32(cnt2), tm=64, tn=128)
+    same_prefix = (np.array_equal(np.asarray(idx_g)[:cnt1],
+                                  np.asarray(idx_ref)[:cnt1])
+                   and np.allclose(
+                       np.asarray(cost_g)[:cnt1][np.asarray(cost_ref)[:cnt1] < 1e7],
+                       np.asarray(cost_ref)[:cnt1][np.asarray(cost_ref)[:cnt1] < 1e7],
+                       rtol=1e-6))
+    # rows in tiles wholly beyond count1 (tile rows of 64) keep the init
+    tail0 = (cnt1 + 63) // 64 * 64
+    tail_init = (np.all(np.asarray(cost_g)[tail0:] >= 1e7)
+                 and np.all(np.asarray(idx_g)[tail0:] == 0))
+    check("sad_argmin/count_gated", same_prefix and tail_init)
+
 
 def patch_cases():
     H, W = 376, 1241

@@ -160,7 +160,11 @@ def _bounds(u_src, v_src, stat_bin, rt: Optional[RangeTable], stage: int,
 
 
 def _pass(src: FeatureSet, dst: FeatureSet, stat_bin, rt, stage, flow,
-          radius, disp_tol, t_u=None, t_v=None):
+          radius, disp_tol, t_u=None, t_v=None, row_count=None):
+    """row_count: valid-prefix length of the ROW space. For gathered source
+    sets (rows aligned to the closure's base table, not prefix-compacted in
+    their own right) pass the base table's count — src.count would be the
+    gather SOURCE's count, which is the wrong axis."""
     n = src.u.shape[0]
     if t_u is None:
         t_u = jnp.full((n,), -1.0, jnp.float32)
@@ -173,6 +177,7 @@ def _pass(src: FeatureSet, dst: FeatureSet, stat_bin, rt, stage, flow,
         dst.desc.astype(jnp.float32),
         dst.u.astype(jnp.float32), dst.v.astype(jnp.float32),
         dst.cls, dst.valid, valid1=src.valid,
+        count1=row_count, count2=dst.count,
     )
     return idx
 
@@ -223,9 +228,11 @@ def match_flow(
     rt = rt if use_rt else None
     n = cur.u.shape[0]
     stat_bin = _bin_of(cur.u, cur.v, binsize, nbu, nbv)
-    i1p = _pass(cur, prev, stat_bin, rt, 0, True, radius, disp_tol)
+    i1p = _pass(cur, prev, stat_bin, rt, 0, True, radius, disp_tol,
+                row_count=cur.count)
     prev_sel = _gather_feats(prev, i1p)
-    i1c2 = _pass(prev_sel, cur, stat_bin, rt, 1, True, radius, disp_tol)
+    i1c2 = _pass(prev_sel, cur, stat_bin, rt, 1, True, radius, disp_tol,
+                 row_count=cur.count)
     ar = jnp.arange(n, dtype=jnp.int32)
     closed = (i1c2 == ar) & cur.valid & prev_sel.valid
     keep = dedup_by_pixel(closed, cur.u.astype(jnp.float32),
@@ -254,9 +261,11 @@ def match_stereo(
     rt = rt if use_rt else None
     n = left.u.shape[0]
     stat_bin = _bin_of(left.u, left.v, binsize, nbu, nbv)
-    i2c = _pass(left, right, stat_bin, rt, 0, False, radius, disp_tol)
+    i2c = _pass(left, right, stat_bin, rt, 0, False, radius, disp_tol,
+                row_count=left.count)
     right_sel = _gather_feats(right, i2c)
-    i1c2 = _pass(right_sel, left, stat_bin, rt, 1, False, radius, disp_tol)
+    i1c2 = _pass(right_sel, left, stat_bin, rt, 1, False, radius, disp_tol,
+                 row_count=left.count)
     ar = jnp.arange(n, dtype=jnp.int32)
     closed = (i1c2 == ar) & left.valid & right_sel.valid
     closed &= left.u >= right_sel.u  # positive disparity (matcher.cpp:1075)
@@ -293,7 +302,8 @@ def match_quad(
     ar = jnp.arange(n, dtype=jnp.int32)
     stat_bin = _bin_of(p1.u, p1.v, binsize, nbu, nbv)
 
-    i2p = _pass(p1, p2, stat_bin, rt, 0, False, radius, disp_tol)
+    i2p = _pass(p1, p2, stat_bin, rt, 0, False, radius, disp_tol,
+                row_count=p1.count)
     p2_sel = _gather_feats(p2, i2p)
 
     if use_tr:
@@ -311,19 +321,23 @@ def match_quad(
         t_u2c = fl * x2c / z2c + cu
         t_v2c = fl * y2c / z2c + cv
         i2c = _pass(p2_sel, c2, stat_bin, rt, 1, True, radius, disp_tol,
-                    t_u=t_u2c, t_v=t_v2c)
+                    t_u=t_u2c, t_v=t_v2c, row_count=p1.count)
     else:
-        i2c = _pass(p2_sel, c2, stat_bin, rt, 1, True, radius, disp_tol)
+        i2c = _pass(p2_sel, c2, stat_bin, rt, 1, True, radius, disp_tol,
+                    row_count=p1.count)
     c2_sel = _gather_feats(c2, i2c)
 
-    i1c = _pass(c2_sel, c1, stat_bin, rt, 2, False, radius, disp_tol)
+    i1c = _pass(c2_sel, c1, stat_bin, rt, 2, False, radius, disp_tol,
+                row_count=p1.count)
     c1_sel = _gather_feats(c1, i1c)
 
     if use_tr:
         i1p2 = _pass(c1_sel, p1, stat_bin, rt, 3, True, radius, disp_tol,
-                     t_u=p1.u.astype(jnp.float32), t_v=p1.v.astype(jnp.float32))
+                     t_u=p1.u.astype(jnp.float32),
+                     t_v=p1.v.astype(jnp.float32), row_count=p1.count)
     else:
-        i1p2 = _pass(c1_sel, p1, stat_bin, rt, 3, True, radius, disp_tol)
+        i1p2 = _pass(c1_sel, p1, stat_bin, rt, 3, True, radius, disp_tol,
+                     row_count=p1.count)
 
     closed = (i1p2 == ar) & p1.valid & p2_sel.valid & c2_sel.valid & c1_sel.valid
     closed &= (p1.u >= p2_sel.u) & (c1_sel.u >= c2_sel.u)  # matcher.cpp:1146

@@ -208,14 +208,16 @@ def sad_argmin_pass(
 
 
 def sad_argmin(d1, c1, u_min, u_max, v_min, v_max, t_u, t_v,
-               d2, u2, v2, c2, valid2, valid1=None):
+               d2, u2, v2, c2, valid2, valid1=None, count1=None, count2=None):
     """Backend dispatcher: fused Pallas kernel on TPU (one HBM pass, no
-    [N1, N2] materialization, tile skipping), jnp scan elsewhere."""
+    [N1, N2] materialization, tile skipping + count gating), jnp scan
+    elsewhere. count1/count2: valid-prefix lengths (tables are compacted)."""
     if jax.default_backend() == "tpu":
         from .pallas_kernels import sad_argmin_pallas
 
         return sad_argmin_pallas(d1, c1, u_min, u_max, v_min, v_max, t_u, t_v,
-                                 d2, u2, v2, c2, valid2, valid1=valid1)
+                                 d2, u2, v2, c2, valid2, valid1=valid1,
+                                 count1=count1, count2=count2)
     return sad_argmin_pass(d1, c1, u_min, u_max, v_min, v_max, t_u, t_v,
                            d2, u2, v2, c2, valid2)
 

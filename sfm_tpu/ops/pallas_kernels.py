@@ -39,10 +39,11 @@ def _interpret() -> bool:
 # SAD cost + argmin
 # ---------------------------------------------------------------------------
 
-def _sad_kernel(row_lo_ref, row_hi_ref, col_lo_ref, col_hi_ref,
+def _sad_kernel(cnt_ref, row_lo_ref, row_hi_ref, col_lo_ref, col_hi_ref,
                 d1_ref, m1_ref, d2t_ref, m2_ref, cost_ref, idx_ref):
     i = pl.program_id(0)
     j = pl.program_id(1)
+    TM_ = d1_ref.shape[0]
     TN = d2t_ref.shape[1]
 
     @pl.when(j == 0)
@@ -53,9 +54,14 @@ def _sad_kernel(row_lo_ref, row_hi_ref, col_lo_ref, col_hi_ref,
     # tile skip: features are emitted in ascending-u order (nms.py emission),
     # so each candidate tile spans a narrow u band; compare it against the
     # row tile's aggregate search window and skip disjoint tiles (the analog
-    # of the reference's bin-restricted candidate scan, matcher.cpp:931-940)
+    # of the reference's bin-restricted candidate scan, matcher.cpp:931-940).
+    # Count gating: feature tables are compacted, so row tiles wholly beyond
+    # the source count and candidate tiles wholly beyond the target count
+    # hold only invalid entries — skip them (outputs for such rows keep the
+    # j==0 init = the "no match" cost, which is their contract anyway)
     overlap = ((col_lo_ref[0, j] <= row_hi_ref[i, 0])
-               & (col_hi_ref[0, j] >= row_lo_ref[i, 0]))
+               & (col_hi_ref[0, j] >= row_lo_ref[i, 0])
+               & (i * TM_ < cnt_ref[0]) & (j * TN < cnt_ref[1]))
 
     @pl.when(overlap)
     def _():
@@ -103,13 +109,16 @@ def _sad_kernel(row_lo_ref, row_hi_ref, col_lo_ref, col_hi_ref,
 def sad_argmin_pallas(
     d1, c1, u_min, u_max, v_min, v_max, t_u, t_v,
     d2, u2, v2, c2, valid2,
-    valid1=None,
+    valid1=None, count1=None, count2=None,
     tm: int = 256, tn: int = 512,
 ):
     """Drop-in for ops.matching.sad_argmin_pass (same semantics/returns).
 
     valid1 (optional row mask) only sharpens tile-skip bounds; results for
-    invalid rows are unspecified either way."""
+    invalid rows are unspecified either way. count1/count2 (traced i32):
+    valid-prefix lengths of the source/candidate tables — tiles wholly
+    beyond them are skipped (tables are compacted; rows beyond count1 keep
+    the no-match init, candidates beyond count2 are invalid by mask)."""
     N1 = d1.shape[0]
     N2 = d2.shape[0]
     tm = min(tm, N1)
@@ -117,6 +126,11 @@ def sad_argmin_pallas(
     assert N1 % tm == 0 and N2 % tn == 0, (N1, tm, N2, tn)
     I = N1 // tm
     J = N2 // tn
+    cnt = jnp.stack([
+        jnp.minimum(jnp.asarray(N1 if count1 is None else count1, jnp.int32),
+                    N1),
+        jnp.minimum(jnp.asarray(N2 if count2 is None else count2, jnp.int32),
+                    N2)])
 
     m1 = jnp.stack([c1.astype(jnp.float32), u_min, u_max, v_min, v_max,
                     t_u, t_v, jnp.zeros_like(u_min)], axis=1)  # [N1, 8]
@@ -151,6 +165,7 @@ def sad_argmin_pallas(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((tm, 32), lambda i, j: (i, 0)),
             pl.BlockSpec((tm, 8), lambda i, j: (i, 0)),
             pl.BlockSpec((32, tn), lambda i, j: (0, j)),
@@ -165,7 +180,8 @@ def sad_argmin_pallas(
             jax.ShapeDtypeStruct((N1, 1), jnp.int32),
         ],
         interpret=_interpret(),
-    )(row_lo, row_hi, col_lo, col_hi, d1.astype(jnp.float32), m1, d2t, m2)
+    )(cnt, row_lo, row_hi, col_lo, col_hi, d1.astype(jnp.float32), m1, d2t,
+      m2)
     cost = cost[:, 0]
     idx = idx[:, 0]
     idx = jnp.where(cost < MIN_COST_INIT, idx, 0)

@@ -49,27 +49,37 @@ def _patches(img, u0, v0, r: int):
 
 
 def small_ref_descriptors(du1, dv1, u1, v1, count=None):
-    """[M, 16] f32 small descriptor at integer (u1, v1).
+    """[16, M] f32 small descriptor (SAMPLE-MAJOR) at integer (u1, v1).
 
-    TPU path: one Pallas patch extraction + 16 static picks (the flat
-    16-sample gather serializes on TPU). `count` (traced): valid prefix
-    length — the kernel skips blocks beyond it."""
+    TPU path: one Pallas patch extraction, transposed to [win, win, M] so
+    the 16 static picks are full-lane row reads (picking [M] vectors from a
+    [M, 16, 16] layout lowers to strided relayouts costing ~ms). The
+    transposed layout is also what _cost_surface_T consumes directly.
+    `count` (traced): valid prefix length — the kernel skips blocks beyond
+    it."""
     iu1 = u1.astype(jnp.int32)
     iv1 = v1.astype(jnp.int32)
     if jax.default_backend() == "tpu":
         from .pallas_kernels import extract_patches_pallas
 
         pdu, pdv = extract_patches_pallas(du1, dv1, iu1 - 2, iv1 - 2, count)
-        P = (pdu, pdv)
+        Pt = (jnp.transpose(pdu, (1, 2, 0)), jnp.transpose(pdv, (1, 2, 0)))
         return jnp.stack(
-            [P[ch][:, dy + 2, dx + 2] for ch, dx, dy in _SAMPLES], axis=1)
-    return compute_small_descriptors(du1, dv1, iu1, iv1).astype(jnp.float32)
+            [Pt[ch][dy + 2, dx + 2, :] for ch, dx, dy in _SAMPLES], axis=0)
+    return compute_small_descriptors(du1, dv1, iu1, iv1).astype(
+        jnp.float32).T
 
 
-def _cost_surface(du1, dv1, du2, dv2, u1, v1, u2, v2, g: int, ref=None,
-                  count=None):
-    """[M, 2g+1, 2g+1] SAD cost of the small descriptor at (u1,v1) in image 1
-    vs positions (u2+du, v2+dv), |du|,|dv| <= g, in image 2."""
+def _cost_surface_T(du1, dv1, du2, dv2, u1, v1, u2, v2, g: int, ref=None,
+                    count=None):
+    """[(2g+1)^2, M] SAD cost of the small descriptor at (u1,v1) in image 1
+    vs positions (u2+du, v2+dv), |du|,|dv| <= g, in image 2.
+
+    Candidate-major (rows ordered dv-major like the reference loops) with
+    matches on the MINOR axis: a [M, n, n] layout puts the 5/7-wide
+    candidate axes on the 128-lane dimension and wastes 24/25 of every
+    vector op; transposing the patches once makes all 16 accumulation ops
+    full-lane [n, n, M] work (~10x less device time at M=2048)."""
     iu2 = u2.astype(jnp.int32)
     iv2 = v2.astype(jnp.int32)
     if ref is None:
@@ -86,13 +96,15 @@ def _cost_surface(du1, dv1, du2, dv2, u1, v1, u2, v2, g: int, ref=None,
     else:
         P = [_patches(du2, iu2, iv2, r), _patches(dv2, iu2, iv2, r)]
         base = r - g
-    M = ref.shape[0]
+    M = ref.shape[1]  # ref is sample-major [16, M]
     n = 2 * g + 1
-    cost = jnp.zeros((M, n, n), jnp.float32)
+    Pt = [jnp.transpose(x, (1, 2, 0)) for x in P]  # [win, win, M]
+    refT = ref
+    cost = jnp.zeros((n, n, M), jnp.float32)
     for k, (ch, dx, dy) in enumerate(_SAMPLES):
-        s = P[ch][:, base + dy: base + dy + n, base + dx: base + dx + n]
-        cost = cost + jnp.abs(s - ref[:, k][:, None, None])
-    return cost  # axis 1 = dv (row-major like the reference loops)
+        s = Pt[ch][base + dy: base + dy + n, base + dx: base + dx + n, :]
+        cost = cost + jnp.abs(s - refT[k][None, None, :])
+    return cost.reshape(n * n, M)
 
 
 @jax.jit
@@ -111,10 +123,9 @@ def relocate_minimum(
     m = jnp.float32(MARGIN)
     feasible = ((u2 - 2 >= m) & (u2 + 2 <= w2 - 1 - m) &
                 (v2 - 2 >= m) & (v2 + 2 <= h2 - 1 - m))
-    cost = _cost_surface(du1, dv1, du2, dv2, u1, v1, u2, v2, 2, ref,
-                         count)  # [M,5,5]
-    flat = cost.reshape(cost.shape[0], 25)
-    best = jnp.argmin(flat, axis=1).astype(jnp.float32)  # dv-major, first-min
+    costT = _cost_surface_T(du1, dv1, du2, dv2, u1, v1, u2, v2, 2, ref,
+                            count)  # [25, M], dv-major rows
+    best = jnp.argmin(costT, axis=0).astype(jnp.float32)  # first-min
     du_off = jnp.mod(best, 5.0) - 2.0
     dv_off = jnp.floor(best / 5.0) - 2.0
     return (jnp.where(feasible, u2 + du_off, u2),
@@ -182,11 +193,9 @@ def parabolic_fitting(
     m = jnp.float32(MARGIN)
     feasible = ((u2 - 3 >= m) & (u2 + 3 <= w2 - 1 - m) &
                 (v2 - 3 >= m) & (v2 + 3 <= h2 - 1 - m))
-    cost = _cost_surface(du1, dv1, du2, dv2, u1, v1, u2, v2, 3, ref,
-                         count)  # [M,7,7]
-    M = cost.shape[0]
-    flat = cost.reshape(M, 49)
-    best = jnp.argmin(flat, axis=1).astype(jnp.int32)
+    costT = _cost_surface_T(du1, dv1, du2, dv2, u1, v1, u2, v2, 3, ref,
+                            count)  # [49, M], dv-major rows
+    best = jnp.argmin(costT, axis=0).astype(jnp.int32)
     bu = best % 7
     bv = best // 7
     interior = (bu > 0) & (bu < 6) & (bv > 0) & (bv < 6)
@@ -196,10 +205,11 @@ def parabolic_fitting(
     jj = jax.lax.broadcasted_iota(jnp.int32, (9,), 0) % 3 - 1
     safe_bu = jnp.clip(bu, 1, 5)
     safe_bv = jnp.clip(bv, 1, 5)
-    patch_idx = (safe_bv[:, None] + ii[None, :]) * 7 + (safe_bu[:, None] + jj[None, :])
-    c = jnp.take_along_axis(flat, patch_idx, axis=1)     # [M, 9]
-    b = c @ _FIT.T                                       # [M, 6]
-    b0, b1, b2, b3, b4 = b[:, 0], b[:, 1], b[:, 2], b[:, 3], b[:, 4]
+    patch_idx = ((safe_bv[None, :] + ii[:, None]) * 7
+                 + (safe_bu[None, :] + jj[:, None]))     # [9, M]
+    c = jnp.take_along_axis(costT, patch_idx, axis=0)    # [9, M]
+    b = _FIT @ c                                         # [6, M]
+    b0, b1, b2, b3, b4 = b[0], b[1], b[2], b[3], b[4]
     divisor = b2 * b2 - 4.0 * b0 * b1
     ok_div = (jnp.abs(divisor) >= 1e-8) & (jnp.abs(b2) >= 1e-8)
     ddv = (2.0 * b0 * b4 - b2 * b3) / jnp.where(ok_div, divisor, 1.0)
