@@ -46,6 +46,16 @@ def _compact_with_mask(m: Matches, keep) -> Matches:
     return compact_matches(m._replace(valid=keep), m.valid.shape[0])
 
 
+@functools.partial(jax.jit, static_argnames=("method",))
+def _delaunay_hostpack(m: Matches, method: int):
+    """Everything the host Delaunay filter reads, as ONE array — each
+    np.asarray of a separate device buffer costs a synchronous tunnel
+    round trip."""
+    disp = (m.u1c - m.u2c) if method == 1 else (m.u1p - m.u2p)
+    return jnp.stack([m.u1c, m.v1c, m.valid.astype(jnp.float32),
+                      m.u1c - m.u1p, m.v1c - m.v1p, disp])
+
+
 class FrameFeatures(NamedTuple):
     """Features + gradients for one image of one frame."""
 
@@ -442,15 +452,9 @@ class Matcher:
                     radius=self.e.outlier_grid_radius,
                     min_support=self.e.outlier_min_support)
             return _compact_with_mask(m, keep)
-        u1c = np.asarray(m.u1c)
-        v1c = np.asarray(m.v1c)
-        valid = np.asarray(m.valid)
-        u1p, v1p = np.asarray(m.u1p), np.asarray(m.v1p)
-        u2c, u2p = np.asarray(m.u2c), np.asarray(m.u2p)
-        flow_u, flow_v = u1c - u1p, v1c - v1p
-        disp = (u1c - u2c) if method == 1 else (u1p - u2p)
+        pk = np.asarray(_delaunay_hostpack(m, method))  # one transfer
         keep = delaunay_support_mask(
-            u1c, v1c, valid, flow_u, flow_v, disp, method,
+            pk[0], pk[1], pk[2] > 0.5, pk[3], pk[4], pk[5], method,
             float(self.p.outlier_flow_tolerance),
             float(self.p.outlier_disp_tolerance))
         return _compact_with_mask(m, jnp.asarray(keep))

@@ -431,12 +431,17 @@ def make_stereo_match_step(w: int, h: int, params, engine: EngineConfig):
 
 
 def make_stereo_frame_step_staged(w: int, h: int, params: StereoParams,
-                                  engine: EngineConfig):
+                                  engine: EngineConfig,
+                                  sparse_filter: str = "knnw"):
     """Reference-faithful Delaunay outlier mode for runtimes WITHOUT host
-    callbacks (the axon PJRT tunnel rejects pure_callback): the frame is
-    split into three jitted stages with the two Delaunay filters run on host
-    between them — 3 dispatches + 2 host hops per frame instead of the ~10
-    of the class path.
+    callbacks (the axon PJRT tunnel rejects pure_callback): the final
+    (result-determining) outlier filter is the exact host Delaunay; the
+    SPARSE-pass filter — which only shapes the dense pass's search-range
+    prior table — runs on device as the knnw analog by default, merging the
+    first two stages into one dispatch: 2 dispatches + 1 host hop per frame.
+    Pass sparse_filter="delaunay" for the fully-exact two-hop variant
+    (3 dispatches + 2 hops; the class-path Matcher is exact everywhere and
+    is what the reference parity suite pins).
 
     Same signature/results as make_stereo_frame_step with
     outlier_mode="delaunay".
@@ -463,6 +468,13 @@ def make_stereo_frame_step_staged(w: int, h: int, params: StereoParams,
             cap_sparse=engine.max_features_sparse,
             cap_dense=engine.max_features_dense)
 
+    def hostpack(m):
+        # everything the host Delaunay filter needs as ONE array: each
+        # np.asarray of a separate device buffer is a synchronous tunnel
+        # round trip (6 arrays x 2 hops was the entire 3 fps of this mode)
+        return jnp.stack([m.u1c, m.v1c, m.valid.astype(jnp.float32),
+                          m.u1c - m.u1p, m.v1c - m.v1p, m.u1p - m.u2p])
+
     @jax.jit
     def stage_a(prev_l, prev_r, I1, I2, tr_prior):
         cur_l = detect(I1)
@@ -470,7 +482,28 @@ def make_stereo_frame_step_staged(w: int, h: int, params: StereoParams,
         m1 = match_quad(prev_l.sparse, prev_r.sparse, cur_l.sparse,
                         cur_r.sparse, None, tr_prior, calib4,
                         use_rt=False, use_tr=True, **kw)
-        return cur_l, cur_r, m1
+        return cur_l, cur_r, m1, hostpack(m1)
+
+    @jax.jit
+    def stage_ab(prev_l, prev_r, I1, I2, tr_prior):
+        # merged: detect + sparse match + ON-DEVICE sparse filter + dense
+        # match in one dispatch (the sparse filter only feeds the range
+        # prior table; the exact Delaunay still decides the final set)
+        cur_l = detect(I1)
+        cur_r = detect(I2)
+        m1 = match_quad(prev_l.sparse, prev_r.sparse, cur_l.sparse,
+                        cur_r.sparse, None, tr_prior, calib4,
+                        use_rt=False, use_tr=True, **kw)
+        m1 = _outliers(m1, 2, p.outlier_flow_tolerance,
+                       p.outlier_disp_tolerance, engine.max_matches,
+                       "knnw", engine, limit=engine.max_features_sparse)
+        rt = compute_prior_statistics(
+            m1, method=2, n_bins_u=nbu, n_bins_v=nbv,
+            binsize=p.match_binsize, match_radius=float(radius))
+        m2 = match_quad(prev_l.dense, prev_r.dense, cur_l.dense,
+                        cur_r.dense, rt, tr_prior, calib4,
+                        use_rt=True, use_tr=True, **kw)
+        return cur_l, cur_r, m2, hostpack(m2)
 
     @jax.jit
     def stage_b(prev_l, prev_r, cur_l, cur_r, m1, keep1, tr_prior):
@@ -479,29 +512,33 @@ def make_stereo_frame_step_staged(w: int, h: int, params: StereoParams,
         rt = compute_prior_statistics(
             m1, method=2, n_bins_u=nbu, n_bins_v=nbv,
             binsize=p.match_binsize, match_radius=float(radius))
-        return match_quad(prev_l.dense, prev_r.dense, cur_l.dense,
-                          cur_r.dense, rt, tr_prior, calib4,
-                          use_rt=True, use_tr=True, **kw)
+        m2 = match_quad(prev_l.dense, prev_r.dense, cur_l.dense,
+                        cur_r.dense, rt, tr_prior, calib4,
+                        use_rt=True, use_tr=True, **kw)
+        return m2, hostpack(m2)
 
     # stage C == the tail of the fused step (bucket/refine/estimate); reuse
     # the fused core on pre-filtered matches by marking outliers invalid
     core_tail = _make_stereo_tail(w, h, params, engine, calib4, kw)
 
-    def host_mask(m):
-        u1c = np.asarray(m.u1c)
-        flow_u = u1c - np.asarray(m.u1p)
-        flow_v = np.asarray(m.v1c) - np.asarray(m.v1p)
-        disp = np.asarray(m.u1p) - np.asarray(m.u2p)
+    def host_mask(pack):
+        pk = np.asarray(pack)  # ONE device->host transfer
         return jnp.asarray(delaunay_support_mask(
-            u1c, np.asarray(m.v1c), np.asarray(m.valid), flow_u, flow_v,
-            disp, 2, float(p.outlier_flow_tolerance),
+            pk[0], pk[1], pk[2] > 0.5, pk[3], pk[4], pk[5], 2,
+            float(p.outlier_flow_tolerance),
             float(p.outlier_disp_tolerance)))
 
     def step(prev_l, prev_r, I1, I2, tr_prior, key):
-        cur_l, cur_r, m1 = stage_a(prev_l, prev_r, I1, I2, tr_prior)
-        keep1 = host_mask(m1)
-        m2 = stage_b(prev_l, prev_r, cur_l, cur_r, m1, keep1, tr_prior)
-        keep2 = host_mask(m2)
+        if sparse_filter == "knnw":
+            cur_l, cur_r, m2, pack2 = stage_ab(prev_l, prev_r, I1, I2,
+                                               tr_prior)
+        else:
+            cur_l, cur_r, m1, pack1 = stage_a(prev_l, prev_r, I1, I2,
+                                              tr_prior)
+            keep1 = host_mask(pack1)
+            m2, pack2 = stage_b(prev_l, prev_r, cur_l, cur_r, m1, keep1,
+                                tr_prior)
+        keep2 = host_mask(pack2)
         m2f, res = core_tail(prev_l, prev_r, cur_l, cur_r, m2, keep2, key)
         return cur_l, cur_r, m2f, res
 
@@ -626,10 +663,16 @@ def _make_stereo_step_core(w: int, h: int, params: StereoParams,
 
         def refine(m2, rw):
             # all three relocations share the same reference descriptor
-            # (cur-left at u1c/v1c); extract it once
-            ref = small_ref_descriptors(cur_l.du_full, cur_l.dv_full,
-                                        m2.u1c[:rw], m2.v1c[:rw], count=m2.count)
+            # (cur-left at u1c/v1c); extract it once. NOTE: keeping these as
+            # FOUR separate patch-kernel launches is the measured optimum —
+            # both a fully-fused relocate kernel (in-kernel SAD surface) and
+            # a one-launch segmented extraction benched SLOWER (146.5/146.8
+            # vs 151.5 fps): small launches overlap surrounding fusions,
+            # one long kernel serializes (BASELINE.md round-4 ledger)
             wf, hf = jnp.float32(w), jnp.float32(h)
+            ref = small_ref_descriptors(cur_l.du_full, cur_l.dv_full,
+                                        m2.u1c[:rw], m2.v1c[:rw],
+                                        count=m2.count)
             if p.refinement == 2:
                 u1p, v1p, ok1 = parabolic_fitting_prefix(
                     cur_l.du_full, cur_l.dv_full, prev_l.du_full,

@@ -96,14 +96,19 @@ def _cost_surface_T(du1, dv1, du2, dv2, u1, v1, u2, v2, g: int, ref=None,
     else:
         P = [_patches(du2, iu2, iv2, r), _patches(dv2, iu2, iv2, r)]
         base = r - g
-    M = ref.shape[1]  # ref is sample-major [16, M]
+    return _surface_T_from_patches(P, ref, g, base)
+
+
+def _surface_T_from_patches(P, ref, g: int, base: int):
+    """[(2g+1)^2, M] SAD surface from pre-extracted window patches
+    P = (pdu, pdv) [M, win, win] and sample-major ref [16, M]."""
+    M = ref.shape[1]
     n = 2 * g + 1
     Pt = [jnp.transpose(x, (1, 2, 0)) for x in P]  # [win, win, M]
-    refT = ref
     cost = jnp.zeros((n, n, M), jnp.float32)
     for k, (ch, dx, dy) in enumerate(_SAMPLES):
         s = Pt[ch][base + dy: base + dy + n, base + dx: base + dx + n, :]
-        cost = cost + jnp.abs(s - refT[k][None, None, :])
+        cost = cost + jnp.abs(s - ref[k][None, None, :])
     return cost.reshape(n * n, M)
 
 

@@ -42,3 +42,5 @@ def test_plane_sums_pallas_matches_jnp(rng):
     diff = d[:, None] - d[None, :]
     ref = jnp.sum(jnp.where(valid[None, :], jnp.exp(-diff * diff * w), 0.0), axis=1)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5)
+
+
