@@ -65,6 +65,11 @@ def _sad_kernel(cnt_ref, row_lo_ref, row_hi_ref, col_lo_ref, col_hi_ref,
 
     @pl.when(overlap)
     def _():
+        # f32 abs-diff accumulation. Lower precisions were tried and lost:
+        # Mosaic lacks i16 vector abs/max (the exact u8/i16 analog of the
+        # reference SIMD SAD, simd.hh:384-445, fails to legalize), and bf16
+        # operands with f32 accumulation benched ~1% slower than plain f32
+        # (BASELINE.md round-4 ledger)
         d1 = d1_ref[:]          # [TM, 32]
         d2t = d2t_ref[:]        # [32, TN]
         TM = d1.shape[0]

@@ -159,7 +159,9 @@ def gn_solve(tr, pts, obs, wmask, calib, iters: int, eps: float,
     def body(state):
         # unroll 3 GN iterations per while step: each sequential device step
         # costs fixed latency and non-UPDATED elements are no-ops, so
-        # unrolling is semantically free and ~3x fewer round trips
+        # unrolling is semantically free and ~3x fewer round trips.
+        # (Unroll 6 benched WORSE — the average overshoot past convergence
+        # costs more than the saved cond trips, BASELINE.md round-4 ledger.)
         state = one_iter(state)
         state = one_iter(state)
         return one_iter(state)
