@@ -245,8 +245,15 @@ def main():
               f"[{time.time()-t0:.0f}s]", flush=True)
         results[name] = res
     out = os.path.join(HERE, "accuracy_results.json")
+    merged = {}
+    if os.path.exists(out):  # merge: partial runs must not drop other scenes
+        try:
+            merged = json.load(open(out))
+        except ValueError:
+            merged = {}
+    merged.update(results)
     with open(out, "w") as f:
-        json.dump(results, f, indent=1)
+        json.dump(merged, f, indent=1)
     print(f"wrote {out}")
 
     # markdown summary for BASELINE.md
