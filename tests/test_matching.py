@@ -172,3 +172,21 @@ def test_bucketing(rng):
                      np.asarray(m.v1c)[:n].tolist()))
     for i in range(k):
         assert (float(out.u1c[i]), float(out.v1c[i])) in in_set
+
+
+def test_bucketing_small_cap_keeps_all_when_under(rng):
+    """bucket_matches with cap < table size (the post-bucket refine_window
+    table): all surviving matches fit and are compacted to the prefix."""
+    cap_in, n = 512, 200
+    m = _mk_matches(rng, cap_in, n)
+    key = jax.random.PRNGKey(1)
+    out = matching.bucket_matches(m, key, 2, 50.0, 50.0, 256)
+    assert out.u1c.shape[0] == 256
+    k = int(out.count)
+    assert 0 < k <= n
+    v = np.asarray(out.valid)
+    assert v[:k].all() and not v[k:].any()  # compacted prefix
+    in_set = set(zip(np.asarray(m.u1c)[:n].tolist(),
+                     np.asarray(m.v1c)[:n].tolist()))
+    for i in range(k):
+        assert (float(out.u1c[i]), float(out.v1c[i])) in in_set

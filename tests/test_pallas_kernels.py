@@ -44,3 +44,59 @@ def test_plane_sums_pallas_matches_jnp(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5)
 
 
+
+def test_sad_argmin_count_gated(rng):
+    """Count gating (interpret): rows < count1 match the oracle, rows in
+    tiles wholly beyond count1 keep the no-match init."""
+    from sfm_tpu.ops import matching
+    from sfm_tpu.ops.pallas_kernels import sad_argmin_pallas
+
+    n1, n2 = 128, 128
+    cnt1, cnt2 = 70, 90
+    d1 = jnp.asarray(rng.randint(0, 256, (n1, 32)), jnp.float32)
+    d2 = jnp.asarray(rng.randint(0, 256, (n2, 32)), jnp.float32)
+    c1 = jnp.asarray(rng.randint(0, 4, n1), jnp.int32)
+    c2 = jnp.asarray(rng.randint(0, 4, n2), jnp.int32)
+    u1 = jnp.asarray(rng.randint(0, 300, n1), jnp.float32)
+    v1 = jnp.asarray(rng.randint(0, 150, n1), jnp.float32)
+    u2 = jnp.asarray(rng.randint(0, 300, n2), jnp.float32)
+    v2 = jnp.asarray(rng.randint(0, 150, n2), jnp.float32)
+    valid2 = jnp.arange(n2) < cnt2
+    neg = jnp.full(n1, -1.0, jnp.float32)
+    args = (d1, c1, u1 - 80, u1 + 80, v1 - 60, v1 + 60, neg, neg,
+            d2, u2, v2, c2, valid2)
+    idx_ref, cost_ref = matching.sad_argmin_pass(*args, chunk=64)
+    idx_g, cost_g = sad_argmin_pallas(
+        *args, count1=jnp.int32(cnt1), count2=jnp.int32(cnt2), tm=32, tn=64)
+    np.testing.assert_array_equal(np.asarray(idx_g)[:cnt1],
+                                  np.asarray(idx_ref)[:cnt1])
+    sel = np.asarray(cost_ref)[:cnt1] < 1e7
+    np.testing.assert_allclose(np.asarray(cost_g)[:cnt1][sel],
+                               np.asarray(cost_ref)[:cnt1][sel], rtol=1e-6)
+    tail0 = (cnt1 + 31) // 32 * 32
+    assert np.all(np.asarray(cost_g)[tail0:] >= 1e7)
+    assert np.all(np.asarray(idx_g)[tail0:] == 0)
+
+
+def test_extract_patches_count_gated(rng):
+    """Prefix blocks exact, dead blocks zeroed (interpret)."""
+    import jax.numpy as jnp2
+
+    from sfm_tpu.ops.pallas_kernels import PATCH, extract_patches_pallas
+
+    H, W = 64, 256
+    M, cnt, blk = 64, 30, 16
+    du = jnp2.asarray(rng.randint(0, 256, (H, W)), jnp2.float32)
+    dv = jnp2.asarray(rng.randint(0, 256, (H, W)), jnp2.float32)
+    u0 = jnp2.asarray(rng.randint(0, W, M), jnp2.int32)
+    v0 = jnp2.asarray(rng.randint(0, H, M), jnp2.int32)
+    full_u, full_v = extract_patches_pallas(du, dv, u0, v0, block=blk)
+    g_u, g_v = extract_patches_pallas(du, dv, u0, v0, jnp2.int32(cnt),
+                                      block=blk)
+    np.testing.assert_array_equal(np.asarray(g_u)[:cnt],
+                                  np.asarray(full_u)[:cnt])
+    np.testing.assert_array_equal(np.asarray(g_v)[:cnt],
+                                  np.asarray(full_v)[:cnt])
+    live = (cnt + blk - 1) // blk * blk
+    assert np.all(np.asarray(g_u)[live:] == 0.0)
+    assert np.all(np.asarray(g_v)[live:] == 0.0)
