@@ -230,21 +230,24 @@ def bench_stereo(left, right, poses, refinement=1, outlier_mode="grid",
     return fps
 
 
-def bench_mono(left, poses):
+def bench_mono(left, poses, outlier_mode="knnw", staged=False,
+               label="mono", reps=REPS):
     import jax
     import jax.numpy as jnp
 
     from sfm_tpu.config import (Bucketing, Calibration, EngineConfig,
                                 MonoParams)
     from sfm_tpu.models.matcher import detect_features
-    from sfm_tpu.models.pipeline import make_mono_frame_step
+    from sfm_tpu.models.pipeline import (make_mono_frame_step,
+                                         make_mono_frame_step_staged)
 
     h, w = left[0].shape
     params = MonoParams(
         calib=Calibration(f=645.2, cu=635.9, cv=194.1), height=1.6,
         pitch=0.0, bucket=Bucketing(max_features=1000))
-    engine = EngineConfig(outlier_mode="knnw")
-    step = make_mono_frame_step(w, h, params, engine)
+    engine = EngineConfig(outlier_mode=outlier_mode)
+    step = (make_mono_frame_step_staged(w, h, params, engine) if staged
+            else make_mono_frame_step(w, h, params, engine))
 
     p = params.match
     prev = detect_features(
@@ -258,7 +261,7 @@ def bench_mono(left, poses):
     for i in range(1, WARMUP + 1):
         prev, m, res = step(prev, jax.device_put(left[i]), key)
     jax.block_until_ready(res.tr)
-    log(f"mono warmup/compile: {time.perf_counter() - t0:.1f}s")
+    log(f"{label} warmup/compile: {time.perf_counter() - t0:.1f}s")
 
     lo = WARMUP + 1
     results = []
@@ -267,7 +270,7 @@ def bench_mono(left, poses):
     jax.block_until_ready(dev)  # see stereo note
     prev0 = prev
     fps_reps = []
-    for rep in range(REPS):
+    for rep in range(reps):
         prev = prev0
         results = []
         t0 = time.perf_counter()
@@ -277,11 +280,11 @@ def bench_mono(left, poses):
         jax.block_until_ready(results)
         fps_reps.append(N_FRAMES / (time.perf_counter() - t0))
     fps = max(fps_reps)
-    log(f"mono reps: {[round(f, 1) for f in fps_reps]}")
+    log(f"{label} reps: {[round(f, 1) for f in fps_reps]}")
     trs = np.stack([np.asarray(r[0]) for r in results])
     succ = np.array([bool(r[1]) for r in results])
     nm = np.array([int(r[2]) for r in results])
-    log(f"mono: {fps:.2f} fps  last tr t=({trs[-1][3]:.3f},{trs[-1][4]:.3f},"
+    log(f"{label}: {fps:.2f} fps  last tr t=({trs[-1][3]:.3f},{trs[-1][4]:.3f},"
         f"{trs[-1][5]:.3f}) success={int(succ.sum())}/{N_FRAMES} "
         f"matches~{int(nm.mean())}")
     return fps
@@ -336,6 +339,13 @@ def main():
                 modes[name] = round(fps, 2)
             except Exception as e:
                 log(f"{name} bench failed: {e}")
+        try:
+            fps = bench_mono(left, poses, outlier_mode="delaunay",
+                             staged=True, label="mono_delaunay_refine1",
+                             reps=3)
+            modes["mono_delaunay_refine1"] = round(fps, 2)
+        except Exception as e:
+            log(f"mono_delaunay bench failed: {e}")
         try:
             with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                    "benchmarks", "bench_modes.json"),

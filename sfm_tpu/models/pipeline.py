@@ -204,6 +204,132 @@ def make_mono_sequence_fn(w: int, h: int, params: MonoParams,
     return jax.jit(seq)
 
 
+def make_mono_frame_step_staged(w: int, h: int, params: MonoParams,
+                                engine: EngineConfig,
+                                sparse_filter: str = "knnw"):
+    """Reference-faithful Delaunay outlier mode for MONO on runtimes
+    WITHOUT host callbacks (the mono SfM app is the reference's only
+    executable pipeline, main.cpp:94-122, and it filters with Delaunay):
+    detect + sparse match (+ on-device sparse filter by default) + dense
+    match in one dispatch, ONE host hop for the exact final Delaunay, then
+    the jitted bucket/refine/estimate tail. sparse_filter="delaunay" adds
+    the second exact hop (mirrors the stereo variant).
+
+    Same signature/results as make_mono_frame_step with
+    outlier_mode="delaunay".
+    """
+    import numpy as np
+
+    from ..ops.outliers import delaunay_support_mask
+
+    p = params.match
+    radius = p.match_radius / 2 if p.half_resolution else p.match_radius
+    nbu = -(-w // p.match_binsize)
+    nbv = -(-h // p.match_binsize)
+    kw = dict(w=w, h=h, binsize=p.match_binsize, nbu=nbu, nbv=nbv,
+              radius=float(radius), disp_tol=float(p.match_disp_tolerance),
+              cap=engine.max_matches)
+    calib = jnp.asarray([params.calib.f, params.calib.cu, params.calib.cv],
+                        jnp.float32)
+
+    def detect(img):
+        return detect_features(
+            img, w=w, h=h, nms_n=p.nms_n, nms_tau=p.nms_tau,
+            multi_stage=p.multi_stage, half_resolution=p.half_resolution,
+            cap_sparse=engine.max_features_sparse,
+            cap_dense=engine.max_features_dense)
+
+    def hostpack(m):
+        # one device->host transfer per hop (see stereo staged note)
+        return jnp.stack([m.u1c, m.v1c, m.valid.astype(jnp.float32),
+                          m.u1c - m.u1p, m.v1c - m.v1p, m.u1p - m.u2p])
+
+    @jax.jit
+    def stage_a(prev, img):
+        cur = detect(img)
+        m1 = match_flow(prev.sparse, cur.sparse, None, use_rt=False, **kw)
+        return cur, m1, hostpack(m1)
+
+    @jax.jit
+    def stage_ab(prev, img):
+        cur = detect(img)
+        m1 = match_flow(prev.sparse, cur.sparse, None, use_rt=False, **kw)
+        m1 = _outliers(m1, 0, p.outlier_flow_tolerance,
+                       p.outlier_disp_tolerance, engine.max_matches,
+                       "knnw", engine, limit=engine.max_features_sparse)
+        rt = compute_prior_statistics(
+            m1, method=0, n_bins_u=nbu, n_bins_v=nbv,
+            binsize=p.match_binsize, match_radius=float(radius))
+        m2 = match_flow(prev.dense, cur.dense, rt, use_rt=True, **kw)
+        return cur, m2, hostpack(m2)
+
+    @jax.jit
+    def stage_b(prev, cur, m1, keep1):
+        m1 = compact_matches(m1._replace(valid=m1.valid & keep1),
+                             engine.max_matches)
+        rt = compute_prior_statistics(
+            m1, method=0, n_bins_u=nbu, n_bins_v=nbv,
+            binsize=p.match_binsize, match_radius=float(radius))
+        m2 = match_flow(prev.dense, cur.dense, rt, use_rt=True, **kw)
+        return m2, hostpack(m2)
+
+    @jax.jit
+    def tail(prev, cur, m2, keep2, key):
+        k_bucket, k_ransac = jax.random.split(key)
+        m2 = compact_matches(m2._replace(valid=m2.valid & keep2),
+                             engine.max_matches)
+        cap_pb = min(engine.refine_window, engine.max_matches)
+        m2 = bucket_matches(m2, k_bucket, params.bucket.max_features,
+                            params.bucket.bucket_width,
+                            params.bucket.bucket_height, cap_pb)
+        if p.refinement > 0:
+            wf, hf = jnp.float32(w), jnp.float32(h)
+            if p.refinement == 2:
+                u1p, v1p, ok = parabolic_fitting_prefix(
+                    cur.du_full, cur.dv_full, prev.du_full, prev.dv_full,
+                    m2.u1c, m2.v1c, m2.u1p, m2.v1p, wf, hf, window=cap_pb,
+                    count=m2.count)
+                m2 = compact_matches(
+                    m2._replace(u1p=u1p, v1p=v1p, valid=m2.valid & ok),
+                    cap_pb)
+            else:
+                u1p, v1p = relocate_minimum_prefix(
+                    cur.du_full, cur.dv_full, prev.du_full, prev.dv_full,
+                    m2.u1c, m2.v1c, m2.u1p, m2.v1p, wf, hf, window=cap_pb,
+                    count=m2.count)
+                m2 = m2._replace(u1p=u1p, v1p=v1p)
+        res = mono_estimate_motion(
+            m2, k_ransac, calib, jnp.float32(params.height),
+            jnp.float32(params.pitch), jnp.float32(params.inlier_threshold),
+            jnp.float32(params.motion_threshold),
+            ransac_iters=params.ransac_iters)
+        if engine.compute_gain:
+            res = res._replace(gain=_gain_means(
+                prev.img, cur.img, m2.u1p, m2.v1p, m2.u1c, m2.v1c,
+                m2.valid & res.inliers, w=w, h=h))
+        return m2, res
+
+    def host_mask(pack):
+        pk = np.asarray(pack)  # ONE device->host transfer
+        return jnp.asarray(delaunay_support_mask(
+            pk[0], pk[1], pk[2] > 0.5, pk[3], pk[4], pk[5], 0,
+            float(p.outlier_flow_tolerance),
+            float(p.outlier_disp_tolerance)))
+
+    def step(prev, img, key):
+        if sparse_filter == "knnw":
+            cur, m2, pack2 = stage_ab(prev, img)
+        else:
+            cur, m1, pack1 = stage_a(prev, img)
+            keep1 = host_mask(pack1)
+            m2, pack2 = stage_b(prev, cur, m1, keep1)
+        keep2 = host_mask(pack2)
+        m2f, res = tail(prev, cur, m2, keep2, key)
+        return cur, m2f, res
+
+    return step
+
+
 def make_mono_sfm_step(w: int, h: int, params: MonoParams,
                        engine: EngineConfig, recon_params=None):
     """Full monocular SfM frame step — VO + pose integration + mapping — as

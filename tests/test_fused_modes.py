@@ -127,3 +127,47 @@ def test_fused_gain_estimation():
     results = _run_seq(step, left2, right2, engine, params, n=2)
     gain = float(results[0].gain)
     assert abs(gain - g) < 0.05, gain
+
+
+def test_mono_staged_delaunay_matches_callback_mode():
+    """Mono staged host-Delaunay pipeline (the reference's only executable
+    is the mono SfM app with Delaunay filtering): sparse_filter="delaunay"
+    must EQUAL the callback-fused Delaunay mode; the hybrid default stays
+    close (sparse filter only shapes the prior ranges)."""
+    from sfm_tpu.config import MonoParams
+    from sfm_tpu.models.pipeline import (make_mono_frame_step,
+                                         make_mono_frame_step_staged)
+
+    left, _, poses = make_sequence(4, SCENE, step=0.5, baseline=BASE)
+    params = MonoParams(calib=CAL, height=1.6,
+                        bucket=Bucketing(max_features=1000))
+    engine = _mk_engine(outlier_mode="delaunay")
+    fused = make_mono_frame_step(W, H, params, engine)
+    staged = make_mono_frame_step_staged(W, H, params, engine,
+                                         sparse_filter="delaunay")
+    hybrid = make_mono_frame_step_staged(W, H, params, engine)
+    p = params.match
+    det = lambda img: detect_features(
+        jnp.asarray(img), w=W, h=H, nms_n=p.nms_n, nms_tau=p.nms_tau,
+        multi_stage=p.multi_stage, half_resolution=p.half_resolution,
+        cap_sparse=engine.max_features_sparse,
+        cap_dense=engine.max_features_dense)
+
+    def run(step):
+        prev = det(left[0])
+        key = jax.random.PRNGKey(0)
+        out = []
+        for i in range(1, 4):
+            key, k = jax.random.split(key)
+            prev, m, res = step(prev, jnp.asarray(left[i]), k)
+            out.append(res)
+        return out
+
+    r_fused, r_staged, r_hybrid = run(fused), run(staged), run(hybrid)
+    for rf, rs, rh in zip(r_fused, r_staged, r_hybrid):
+        assert bool(rf.success) and bool(rs.success) and bool(rh.success)
+        assert int(rf.n_matches) == int(rs.n_matches)
+        np.testing.assert_allclose(np.asarray(rf.tr), np.asarray(rs.tr),
+                                   atol=1e-5)
+        assert abs(int(rh.n_matches) - int(rf.n_matches)) <= \
+            0.05 * int(rf.n_matches) + 5
