@@ -123,7 +123,20 @@ class EngineConfig:
                                      # coordinates in the estimator, which
                                      # measurably degrades turning-scene
                                      # accuracy (seed_probe.json: curve
-                                     # stereo 1.89% @1024 vs 1.10% @2048)
+                                     # stereo 1.89% @1024 vs 1.10% @2048).
+                                     # In the STEREO fast path this is also
+                                     # the post-bucket table capacity:
+                                     # matches beyond it are DROPPED after
+                                     # bucketing (explicit truncation,
+                                     # measured accuracy-neutral over 4
+                                     # scenes x 4 seeds vs the reference —
+                                     # BASELINE.md round-4; set equal to
+                                     # max_matches to disable). The MONO
+                                     # path always keeps the full
+                                     # max_matches table: flow tables are
+                                     # denser and clipping them measurably
+                                     # breaks the ground-plane scale
+                                     # (scurve mono fails 30 -> 84 of 99)
     refine_pre_filter: bool = False  # True = reference stage order (refine
                                      # ALL dense matches before the second
                                      # outlier pass, matcher.cpp:229-232);

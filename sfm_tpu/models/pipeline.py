@@ -152,17 +152,21 @@ def _make_mono_step_core(w: int, h: int, params: MonoParams,
         m2 = _outliers(m2, 0, p.outlier_flow_tolerance,
                        p.outlier_disp_tolerance, engine.max_matches, mode,
                        engine)
-        # post-bucket table capacity = refine_window (see stereo core note)
-        cap_pb = min(engine.refine_window, engine.max_matches)
+        # MONO keeps the FULL max_matches post-bucket table: flow matching
+        # is far denser than the stereo quad closure and measurably
+        # saturates a refine_window-sized table (scurve: count pinned at
+        # 2048 and mono failures 30 -> 84 of 99 when clipped — BASELINE.md
+        # round-4 note). The stereo core's smaller table is safe because
+        # quad counts stay well under the window (~1069 at bench).
         m2 = bucket_matches(m2, k_bucket, params.bucket.max_features,
                             params.bucket.bucket_width,
-                            params.bucket.bucket_height, cap_pb)
+                            params.bucket.bucket_height, engine.max_matches)
         # fast path refines AFTER filtering/bucketing (fewer matches to
         # patch-gather; the +-2 px moves are well inside the 5 px outlier
         # tolerances, so filter results are equivalent in practice — pinned
         # by tests/test_sequence_and_placement.py)
         if p.refinement > 0 and not engine.refine_pre_filter:
-            m2 = refine(m2, cap_pb)
+            m2 = refine(m2, min(engine.refine_window, engine.max_matches))
         res = mono_estimate_motion(
             m2, k_ransac, calib, jnp.float32(params.height),
             jnp.float32(params.pitch), jnp.float32(params.inlier_threshold),
@@ -278,10 +282,11 @@ def make_mono_frame_step_staged(w: int, h: int, params: MonoParams,
         k_bucket, k_ransac = jax.random.split(key)
         m2 = compact_matches(m2._replace(valid=m2.valid & keep2),
                              engine.max_matches)
+        # mono keeps the full table (see _make_mono_step_core note)
         cap_pb = min(engine.refine_window, engine.max_matches)
         m2 = bucket_matches(m2, k_bucket, params.bucket.max_features,
                             params.bucket.bucket_width,
-                            params.bucket.bucket_height, cap_pb)
+                            params.bucket.bucket_height, engine.max_matches)
         if p.refinement > 0:
             wf, hf = jnp.float32(w), jnp.float32(h)
             if p.refinement == 2:

@@ -171,3 +171,34 @@ def test_mono_staged_delaunay_matches_callback_mode():
                                    atol=1e-5)
         assert abs(int(rh.n_matches) - int(rf.n_matches)) <= \
             0.05 * int(rf.n_matches) + 5
+
+
+def test_mono_table_not_clipped_by_refine_window():
+    """Mono flow tables are denser than stereo quad tables and must NOT be
+    capacity-clipped to refine_window after bucketing (doing so measurably
+    broke the ground-plane scale: scurve mono failures 30 -> 84 of 99,
+    BASELINE.md round-4 note). With a tiny refine_window the match count
+    must still exceed it."""
+    from sfm_tpu.config import MonoParams
+    from sfm_tpu.models.pipeline import make_mono_frame_step
+
+    left, _, poses = make_sequence(3, SCENE, step=0.5, baseline=BASE)
+    params = MonoParams(calib=CAL, height=1.6,
+                        bucket=Bucketing(max_features=1000))
+    engine = EngineConfig(max_features_dense=1024, max_features_sparse=256,
+                          max_matches=1024, refine_window=64,
+                          outlier_mode="grid")
+    step = make_mono_frame_step(W, H, params, engine)
+    p = params.match
+    det = lambda img: detect_features(
+        jnp.asarray(img), w=W, h=H, nms_n=p.nms_n, nms_tau=p.nms_tau,
+        multi_stage=p.multi_stage, half_resolution=p.half_resolution,
+        cap_sparse=engine.max_features_sparse,
+        cap_dense=engine.max_features_dense)
+    prev = det(left[0])
+    key = jax.random.PRNGKey(0)
+    prev, m, res = step(prev, jnp.asarray(left[1]), key)
+    assert int(m.count) > 64, "mono table clipped to refine_window"
+    assert m.valid.shape[0] == engine.max_matches
+    # (success itself is not asserted: a 64-match refine window legitimately
+    # degrades coordinates — the point here is capacity, not accuracy)
