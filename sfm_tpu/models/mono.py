@@ -118,6 +118,11 @@ def mono_estimate_motion(
     tr = jnp.stack([rx, ry, rz, t[0], t[1], t[2]])
     success = (okN & ok_norm & ok_ransac & ok_chieral & ok_pos & ok_med
                & jnp.all(jnp.isfinite(tr)))
+    # on failure return the identity motion vector instead of NaNs (degenerate
+    # inputs propagate NaN through the normalization) — callers gate on
+    # `success` for the stale-Tr contract (viso.h:83-86), but the returned
+    # value itself must stay safe to feed through pose-chain arithmetic
+    tr = jnp.where(success, tr, 0.0)
     return MonoResult(tr=tr, success=success, inliers=inl_mask,
                       n_inliers=n_in, n_matches=N)
 

@@ -294,9 +294,12 @@ def make_mono_frame_step_staged(w: int, h: int, params: MonoParams,
                     cur.du_full, cur.dv_full, prev.du_full, prev.dv_full,
                     m2.u1c, m2.v1c, m2.u1p, m2.v1p, wf, hf, window=cap_pb,
                     count=m2.count)
+                # mono compacts back into the FULL max_matches table, like
+                # _make_mono_step_core (clipping to cap_pb reintroduces the
+                # scurve mono table-clip regression, BASELINE.md round-4)
                 m2 = compact_matches(
                     m2._replace(u1p=u1p, v1p=v1p, valid=m2.valid & ok),
-                    cap_pb)
+                    engine.max_matches)
             else:
                 u1p, v1p = relocate_minimum_prefix(
                     cur.du_full, cur.dv_full, prev.du_full, prev.dv_full,

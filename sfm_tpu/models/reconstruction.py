@@ -52,6 +52,14 @@ class ReconState(NamedTuple):
 
 def init_state(max_tracks: int, dtype=jnp.float32,
                track_len: int = TRACK_LEN) -> ReconState:
+    if track_len > FRAME_CAP:
+        # recon_update clips every pose-ring index to FRAME_CAP-1; a longer
+        # track window would silently triangulate old observations against
+        # the clamped (wrong) pose instead of the true one.
+        raise ValueError(
+            f"track_len={track_len} exceeds the pose ring (FRAME_CAP="
+            f"{FRAME_CAP}); observations older than the ring would pair "
+            f"with clamped poses and corrupt triangulated points")
     eye = jnp.broadcast_to(jnp.eye(4, dtype=dtype), (FRAME_CAP, 4, 4))
     return ReconState(
         px_u=jnp.zeros((max_tracks, track_len), dtype),

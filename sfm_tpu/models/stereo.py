@@ -86,6 +86,8 @@ def stereo_estimate_motion(
     ok_conv = status_f == CONVERGED
 
     success = okN & ok_in & ok_conv & jnp.all(jnp.isfinite(tr_f))
+    # identity motion on failure (never NaN) — see the mono estimator note
+    tr_f = jnp.where(success, tr_f, 0.0)
     return StereoResult(tr=tr_f, success=success, inliers=best_mask,
                         n_inliers=n_in, n_matches=N)
 

@@ -128,9 +128,35 @@ def sad_argmin_pallas(
     N2 = d2.shape[0]
     tm = min(tm, N1)
     tn = min(tn, N2)
-    assert N1 % tm == 0 and N2 % tn == 0, (N1, tm, N2, tn)
-    I = N1 // tm
-    J = N2 // tn
+    if valid1 is None:
+        valid1 = jnp.ones((N1,), bool)
+    # auto-pad non-divisible capacities (odd EngineConfig sizes) instead of
+    # asserting: padded rows carry class -1 / empty windows so they can never
+    # match (cost keeps the no-match init and is sliced off below); padded
+    # candidates are invalid by mask
+    big = jnp.float32(3e38)
+    pad1 = -N1 % tm
+    pad2 = -N2 % tn
+    if pad1:
+        z1 = jnp.zeros((pad1,), jnp.float32)
+        d1 = jnp.concatenate([d1, jnp.zeros((pad1, d1.shape[1]), d1.dtype)])
+        c1 = jnp.concatenate([c1, jnp.full((pad1,), -1, c1.dtype)])
+        u_min = jnp.concatenate([u_min, jnp.full((pad1,), big)])
+        u_max = jnp.concatenate([u_max, jnp.full((pad1,), -big)])
+        v_min = jnp.concatenate([v_min, z1])
+        v_max = jnp.concatenate([v_max, z1])
+        t_u = jnp.concatenate([t_u, z1 - 1.0])
+        t_v = jnp.concatenate([t_v, z1 - 1.0])
+        valid1 = jnp.concatenate([valid1, jnp.zeros((pad1,), bool)])
+    if pad2:
+        d2 = jnp.concatenate([d2, jnp.zeros((pad2, d2.shape[1]), d2.dtype)])
+        u2 = jnp.concatenate([u2, jnp.zeros((pad2,), u2.dtype)])
+        v2 = jnp.concatenate([v2, jnp.zeros((pad2,), v2.dtype)])
+        c2 = jnp.concatenate([c2, jnp.full((pad2,), -1, c2.dtype)])
+        valid2 = jnp.concatenate([valid2, jnp.zeros((pad2,), valid2.dtype)])
+    N1p, N2p = N1 + pad1, N2 + pad2
+    I = N1p // tm
+    J = N2p // tn
     cnt = jnp.stack([
         jnp.minimum(jnp.asarray(N1 if count1 is None else count1, jnp.int32),
                     N1),
@@ -138,19 +164,16 @@ def sad_argmin_pallas(
                     N2)])
 
     m1 = jnp.stack([c1.astype(jnp.float32), u_min, u_max, v_min, v_max,
-                    t_u, t_v, jnp.zeros_like(u_min)], axis=1)  # [N1, 8]
+                    t_u, t_v, jnp.zeros_like(u_min)], axis=1)  # [N1p, 8]
     m2 = jnp.stack([u2.astype(jnp.float32), v2.astype(jnp.float32),
                     c2.astype(jnp.float32), valid2.astype(jnp.float32),
                     jnp.zeros_like(u2, dtype=jnp.float32),
                     jnp.zeros_like(u2, dtype=jnp.float32),
                     jnp.zeros_like(u2, dtype=jnp.float32),
-                    jnp.zeros_like(u2, dtype=jnp.float32)], axis=0)  # [8, N2]
-    d2t = d2.astype(jnp.float32).T  # [32, N2]
+                    jnp.zeros_like(u2, dtype=jnp.float32)], axis=0)  # [8, N2p]
+    d2t = d2.astype(jnp.float32).T  # [32, N2p]
 
     # aggregate u-windows per tile for the skip test
-    if valid1 is None:
-        valid1 = jnp.ones((N1,), bool)
-    big = jnp.float32(3e38)
     row_lo = jnp.min(jnp.where(valid1, u_min, big).reshape(I, tm),
                      axis=1, keepdims=True)
     row_hi = jnp.max(jnp.where(valid1, u_max, -big).reshape(I, tm),
@@ -181,14 +204,14 @@ def sad_argmin_pallas(
             pl.BlockSpec((tm, 1), lambda i, j: (i, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((N1, 1), jnp.float32),
-            jax.ShapeDtypeStruct((N1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((N1p, 1), jnp.float32),
+            jax.ShapeDtypeStruct((N1p, 1), jnp.int32),
         ],
         interpret=_interpret(),
     )(cnt, row_lo, row_hi, col_lo, col_hi, d1.astype(jnp.float32), m1, d2t,
       m2)
-    cost = cost[:, 0]
-    idx = idx[:, 0]
+    cost = cost[:N1, 0]
+    idx = idx[:N1, 0]
     idx = jnp.where(cost < MIN_COST_INIT, idx, 0)
     return idx, cost
 
@@ -284,10 +307,17 @@ def extract_patches_pallas(du, dv, u0, v0, count=None, block: int = 256,
     uc = jnp.clip(u0.astype(jnp.int32), 0, W - 1)
     vc = jnp.clip(v0.astype(jnp.int32), 0, H - 1)
     block = min(block, M)
-    assert M % block == 0, (M, block)
+    # auto-pad odd match capacities to a whole number of blocks; the pad rows
+    # sit beyond `count`, so fully-padded blocks are skipped by the count gate
+    # and partially-padded ones just gather the (0,0) window harmlessly
+    padm = -M % block
+    if padm:
+        uc = jnp.concatenate([uc, jnp.zeros((padm,), jnp.int32)])
+        vc = jnp.concatenate([vc, jnp.zeros((padm,), jnp.int32)])
+    Mp = M + padm
     while block % unroll:
         unroll //= 2
-    grid = (M // block,)
+    grid = (Mp // block,)
     pdu, pdv = pl.pallas_call(
         functools.partial(_patch_kernel, unroll=unroll),
         grid=grid,
@@ -303,12 +333,12 @@ def extract_patches_pallas(du, dv, u0, v0, count=None, block: int = 256,
             pl.BlockSpec((block, PATCH, PATCH), lambda i: (i, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((M, PATCH, PATCH), jnp.float32),
-            jax.ShapeDtypeStruct((M, PATCH, PATCH), jnp.float32),
+            jax.ShapeDtypeStruct((Mp, PATCH, PATCH), jnp.float32),
+            jax.ShapeDtypeStruct((Mp, PATCH, PATCH), jnp.float32),
         ],
         interpret=_interpret(),
     )(cnt, uc, vc, duf, dvf)
-    return pdu, pdv
+    return pdu[:M], pdv[:M]
 
 
 # ---------------------------------------------------------------------------
@@ -444,19 +474,25 @@ def plane_sums_pallas(d, valid, weight, tm: int = 512, tn: int = 512):
     N = d.shape[0]
     tm = min(tm, N)
     tn = min(tn, N)
-    assert N % tm == 0 and N % tn == 0
-    dj = jnp.stack([d, valid.astype(jnp.float32)], axis=0)  # [2, N]
+    # auto-pad odd capacities: pad candidates carry valid=0 (contribute 0),
+    # pad rows are sliced off the result
+    padn = int(-N % np.lcm(tm, tn))
+    if padn:
+        d = jnp.concatenate([d, jnp.zeros((padn,), d.dtype)])
+        valid = jnp.concatenate([valid, jnp.zeros((padn,), valid.dtype)])
+    Np = N + padn
+    dj = jnp.stack([d, valid.astype(jnp.float32)], axis=0)  # [2, Np]
     w = jnp.full((1, 1), weight, jnp.float32)
     sums = pl.pallas_call(
         _plane_kernel,
-        grid=(N // tm, N // tn),
+        grid=(Np // tm, Np // tn),
         in_specs=[
             pl.BlockSpec((tm, 1), lambda i, j: (i, 0)),
             pl.BlockSpec((2, tn), lambda i, j: (0, j)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((tm, 1), lambda i, j: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((N, 1), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Np, 1), jnp.float32),
         interpret=_interpret(),
     )(d[:, None].astype(jnp.float32), dj, w)
-    return sums[:, 0]
+    return sums[:N, 0]

@@ -24,3 +24,8 @@ def test_two_process_mesh_matches_single_process():
     assert abs(res["ba_chi2_2proc"] - res["ba_chi2_1proc"]) <= (
         1e-5 * abs(res["ba_chi2_1proc"]))
     assert res["ba_cam_max_abs_diff"] <= 5e-4
+    # the sharded DP mono VO step ran across the 2-process mesh and equals
+    # the single-process vmapped step (VERDICT r4 item 6)
+    assert res["dp_vo_sequences"] == 8
+    assert all(res["dp_vo_success"])
+    assert res["dp_vo_tr_max_abs_diff"] <= 1e-5
