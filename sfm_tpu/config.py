@@ -157,6 +157,15 @@ class EngineConfig:
     # compute the frame-to-frame camera gain ratio in the fused pipeline
     # (matcher.cpp:286-324 getGain; the class path exposes get_gain() instead)
     compute_gain: bool = False
+    # stereo step: detect BOTH images in one batched (vmapped) program —
+    # one [2,h,w] fused filter launch + batched NMS/descriptors instead of
+    # two sequential per-image detect subgraphs. MEASURED SLOWER on the
+    # v5e headline bench (138.8 vs 148.3 fps, round-5): the two separate
+    # detect subgraphs overlap surrounding fusions, the batched one
+    # serializes (same pattern as the fused-relocate/one-launch-extraction
+    # negatives, BASELINE.md round-4). Kept as a toggle for future
+    # hardware; parity-tested equal results either way.
+    batched_detect: bool = False
     # float dtype for geometry (reference uses float64; f32 is TPU-native)
     dtype: str = "float32"
 

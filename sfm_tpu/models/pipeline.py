@@ -195,14 +195,23 @@ def make_mono_sequence_fn(w: int, h: int, params: MonoParams,
     step = _make_mono_step_core(w, h, params, engine)
 
     def seq(prev: FrameFeatures, imgs, key):
-        def body(carry, xs):
-            i, img = xs
-            cur, _, res = step(carry, img, jax.random.fold_in(key, i))
-            return cur, (res.tr, res.success, res.n_matches, res.n_inliers)
-
         n = imgs.shape[0]
-        last, ys = jax.lax.scan(
-            body, prev, (jnp.arange(n, dtype=jnp.uint32), imgs))
+        # fori_loop + leading-axis dynamic slice (layout-preserving) instead
+        # of lax.scan xs (transposed slice materialization — see the stereo
+        # sequence note)
+        acc0 = (jnp.zeros((n, 6), jnp.float32), jnp.zeros((n,), bool),
+                jnp.zeros((n,), jnp.int32), jnp.zeros((n,), jnp.int32))
+
+        def body(i, carry):
+            prev_, acc = carry
+            img = jax.lax.dynamic_index_in_dim(imgs, i, keepdims=False)
+            cur, _, res = step(prev_, img, jax.random.fold_in(key, i))
+            trs, suc, nm, ni = acc
+            acc = (trs.at[i].set(res.tr), suc.at[i].set(res.success),
+                   nm.at[i].set(res.n_matches), ni.at[i].set(res.n_inliers))
+            return (cur, acc)
+
+        last, ys = jax.lax.fori_loop(0, n, body, (prev, acc0))
         return (last,) + ys
 
     return jax.jit(seq)
@@ -473,21 +482,30 @@ def make_stereo_sequence_fn(w: int, h: int, params: StereoParams,
 
     def seq(prev_l: FrameFeatures, prev_r: FrameFeatures, tr_prior0,
             imgs_l, imgs_r, key):
-        def body(carry, xs):
-            pl_, pr_, tr_prior = carry
-            i, il, ir = xs
+        n = imgs_l.shape[0]
+        # fori_loop + dynamic_index instead of lax.scan over the image axis:
+        # scan materializes each xs slice in a transposed layout, adding a
+        # full-image relayout copy per frame (~30% of the step — bench.py
+        # round-4 note); a leading-axis dynamic slice is layout-preserving
+        acc0 = (jnp.zeros((n, 6), jnp.float32), jnp.zeros((n,), bool),
+                jnp.zeros((n,), jnp.int32), jnp.zeros((n,), jnp.int32))
+
+        def body(i, carry):
+            pl_, pr_, tr_prior, acc = carry
+            il = jax.lax.dynamic_index_in_dim(imgs_l, i, keepdims=False)
+            ir = jax.lax.dynamic_index_in_dim(imgs_r, i, keepdims=False)
             cl, cr, _, res = step(pl_, pr_, il, ir, tr_prior,
                                   jax.random.fold_in(key, i))
             tr_next = jnp.where(res.success,
                                 transformation_vector_to_matrix(res.tr),
                                 tr_prior)
-            return (cl, cr, tr_next), (res.tr, res.success, res.n_matches,
-                                       res.n_inliers)
+            trs, suc, nm, ni = acc
+            acc = (trs.at[i].set(res.tr), suc.at[i].set(res.success),
+                   nm.at[i].set(res.n_matches), ni.at[i].set(res.n_inliers))
+            return (cl, cr, tr_next, acc)
 
-        n = imgs_l.shape[0]
-        (last_l, last_r, trp), ys = jax.lax.scan(
-            body, (prev_l, prev_r, tr_prior0),
-            (jnp.arange(n, dtype=jnp.uint32), imgs_l, imgs_r))
+        last_l, last_r, trp, ys = jax.lax.fori_loop(
+            0, n, body, (prev_l, prev_r, tr_prior0, acc0))
         return (last_l, last_r, trp) + ys
 
     return jax.jit(seq)
@@ -777,10 +795,20 @@ def _make_stereo_step_core(w: int, h: int, params: StereoParams,
 
     mode = engine.outlier_mode
 
+    def detect_pair(I1, I2):
+        if not engine.batched_detect:
+            return detect(I1), detect(I2)
+        # one batched detect program for both images: the fused filter
+        # kernel runs as a 2-step grid and NMS/descriptor work is batched
+        # (halves the detect-stage op count the scheduler must interleave)
+        curs = jax.vmap(detect)(jnp.stack([I1, I2]))
+        cur_l = jax.tree.map(lambda x: x[0], curs)
+        cur_r = jax.tree.map(lambda x: x[1], curs)
+        return cur_l, cur_r
+
     def step(prev_l: FrameFeatures, prev_r: FrameFeatures, I1, I2, tr_prior,
              key):
-        cur_l = detect(I1)
-        cur_r = detect(I2)
+        cur_l, cur_r = detect_pair(I1, I2)
         k_bucket, k_ransac = jax.random.split(key)
 
         m1 = match_quad(prev_l.sparse, prev_r.sparse, cur_l.sparse,

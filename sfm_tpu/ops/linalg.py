@@ -201,3 +201,76 @@ def masked_median(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     count = jnp.sum(mask.astype(jnp.int32))
     idx = jnp.clip(count // 2, 0, x.shape[0] - 1)
     return xs[idx]
+
+
+# ---------------------------------------------------------------------------
+# General small rectangular systems (the reference Matrix library surface)
+# ---------------------------------------------------------------------------
+# The reference ships a general-N dense library: Gauss-Jordan solve with full
+# pivoting (matrix.cpp:424-512), Crout LU (matrix.cpp:521-581) and
+# Golub-Reinsch SVD (matrix.cpp:586-831). The pipeline above only ever needs
+# the fixed tiny shapes covered by the Jacobi/Cholesky routines, but future
+# components (rectangular least squares, rank-revealing factorization) get
+# their home here: a batched fixed-shape Householder QR + least-squares,
+# fully unrolled at trace time like everything else in this module (columns
+# are static, every batch element runs identical control flow on the VPU).
+
+
+def householder_qr(A: jnp.ndarray):
+    """Batched thin Householder QR for [..., m, n] with m >= n (static).
+
+    Returns (Q [..., m, n], R [..., n, n]) with A ~= Q @ R, Q orthonormal
+    columns. Column count is a trace-time constant -> n unrolled
+    reflections, each a rank-1 batched update (VPU-friendly; no pivoting —
+    use lstsq's damping for near-singular systems).
+    """
+    m, n = A.shape[-2], A.shape[-1]
+    assert m >= n, (m, n)
+    dt = A.dtype
+    R = A
+    vs = []
+    for k in range(n):
+        x = R[..., k:, k]                          # [..., m-k]
+        normx = jnp.sqrt(jnp.sum(x * x, -1))
+        sign = jnp.where(x[..., 0] >= 0, 1.0, -1.0).astype(dt)
+        e0 = jnp.zeros_like(x).at[..., 0].set(1.0)
+        v = x + (sign * normx)[..., None] * e0
+        vnorm = jnp.sqrt(jnp.sum(v * v, -1))
+        v = v / jnp.where(vnorm > 1e-30, vnorm, 1.0)[..., None]
+        # apply I - 2 v v^T to the trailing block
+        tail = R[..., k:, :]
+        tail = tail - 2.0 * v[..., :, None] * jnp.sum(
+            v[..., :, None] * tail, axis=-2, keepdims=True)
+        R = jnp.concatenate([R[..., :k, :], tail], axis=-2)
+        vs.append((k, v))
+    # accumulate Q = H_0 ... H_{n-1} @ I_{m x n}
+    Q = jnp.broadcast_to(jnp.eye(m, n, dtype=dt), A.shape[:-2] + (m, n))
+    for k, v in reversed(vs):
+        tail = Q[..., k:, :]
+        tail = tail - 2.0 * v[..., :, None] * jnp.sum(
+            v[..., :, None] * tail, axis=-2, keepdims=True)
+        Q = jnp.concatenate([Q[..., :k, :], tail], axis=-2)
+    return Q, jnp.triu(R[..., :n, :])
+
+
+def solve_triu(R: jnp.ndarray, b: jnp.ndarray, eps: float = 1e-30):
+    """Back-substitution for upper-triangular [..., n, n] (unrolled)."""
+    n = R.shape[-1]
+    xs = [None] * n
+    for i in range(n - 1, -1, -1):
+        acc = b[..., i]
+        for j in range(i + 1, n):
+            acc = acc - R[..., i, j] * xs[j]
+        d = R[..., i, i]
+        xs[i] = acc / jnp.where(jnp.abs(d) > eps, d, eps)
+    return jnp.stack(xs, axis=-1)
+
+
+def lstsq_qr(A: jnp.ndarray, b: jnp.ndarray):
+    """Batched least-squares min ||A x - b|| via thin QR.
+
+    A: [..., m, n] (m >= n static), b: [..., m]. Returns x [..., n] — the
+    TPU slot of the reference's Matrix::solve on rectangular systems."""
+    Q, R = householder_qr(A)
+    qtb = jnp.sum(Q * b[..., :, None], axis=-2)
+    return solve_triu(R, qtb)

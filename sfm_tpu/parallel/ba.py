@@ -199,29 +199,55 @@ def make_distributed_ba_step(mesh: Mesh, intr, damping: float = 1e-3,
                          obs_cam=lspec, obs_mask=lspec, point_valid=lspec)
 
     @functools.partial(
-        jax.shard_map, mesh=mesh, in_specs=(in_specs,),
+        jax.shard_map, mesh=mesh, in_specs=(in_specs, P()),
         out_specs=(in_specs, P()), check_vma=False)
-    def step(problem):
-        new, chi2 = ba_step_local(problem, intr, jnp.float32(damping),
+    def step(problem, damp):
+        new, chi2 = ba_step_local(problem, intr, damp[0],
                                   n_fixed=n_fixed, axis_name=axis)
         return new, chi2
 
-    return jax.jit(step)
+    jitted = jax.jit(step)
+
+    def call(problem, damp=None):
+        # per-call damping (traced, no recompile) for adaptive LM loops;
+        # defaults to the constructor value. Plain numpy so multi-process
+        # meshes treat it as process-replicated input.
+        d = np.full((1,), damping if damp is None else damp, np.float32)
+        return jitted(problem, d)
+
+    return call
 
 
 def run_ba(problem: BAProblem, intr, iters: int = 10, damping: float = 1e-3,
            n_fixed: int = 1, mesh: Mesh | None = None, axis: str = "data"):
     """Iterate BA steps; single-device when mesh is None."""
-    if mesh is None:
-        intr = jnp.asarray(intr, jnp.float32)
-        step = jax.jit(lambda pr: ba_step_local(
-            pr, intr, jnp.float32(damping), n_fixed=n_fixed))
-    else:
-        step = make_distributed_ba_step(mesh, intr, damping, n_fixed, axis)
+    step = make_ba_step(intr, damping=damping, n_fixed=n_fixed, mesh=mesh,
+                        axis=axis)
     chi = None
     for _ in range(iters):
         problem, chi = step(problem)
     return problem, chi
+
+
+def make_ba_step(intr, damping: float = 1e-3, n_fixed: int = 1,
+                 mesh: Mesh | None = None, axis: str = "data"):
+    """Uniform step factory: (problem, damp=None) -> (new_problem, chi2),
+    local when mesh is None, landmark-sharded otherwise. `damp` is a traced
+    per-call damping override (adaptive LM re-invokes without recompiling).
+    The returned chi2 is evaluated at the INPUT state (before the update)."""
+    if mesh is not None:
+        return make_distributed_ba_step(mesh, intr, damping, n_fixed, axis)
+    intrj = jnp.asarray(intr, jnp.float32)
+
+    @functools.partial(jax.jit, static_argnames=())
+    def jitted(pr, d):
+        return ba_step_local(pr, intrj, d, n_fixed=n_fixed)
+
+    def call(problem, damp=None):
+        return jitted(problem,
+                      jnp.float32(damping if damp is None else damp))
+
+    return call
 
 
 @jax.jit
