@@ -149,6 +149,7 @@ int main(int argc, char **argv) {
         double f = atof(argv[5]), cu = atof(argv[6]), cv = atof(argv[7]);
         double base = atof(argv[8]), height = atof(argv[9]);
         std::string out = argv[10];
+        int refinement = argc > 11 ? atoi(argv[11]) : 1;  // matcher.h default
         FILE *fo = fopen((out + "/vo.txt").c_str(), "w");
 
         int32_t w = 0, h = 0;
@@ -158,6 +159,7 @@ int main(int argc, char **argv) {
             param.calib.f = f; param.calib.cu = cu; param.calib.cv = cv;
             param.height = height; param.pitch = 0.0;
             param.bucket.max_features = 1000;  // like main.cpp:71
+            param.match.refinement = refinement;
             VisualOdometryMono viso(param);
             for (int i = 0; i < n; i++) {
                 snprintf(buf, sizeof buf, "%s/%06d.pgm", dir.c_str(), i);
@@ -178,6 +180,7 @@ int main(int argc, char **argv) {
             param.calib.f = f; param.calib.cu = cu; param.calib.cv = cv;
             param.base = base;
             param.bucket.max_features = 1000;
+            param.match.refinement = refinement;
             VisualOdometryStereo viso(param);
             for (int i = 0; i < n; i++) {
                 snprintf(buf, sizeof buf, "%s/%06d_l.pgm", dir.c_str(), i);

@@ -164,9 +164,15 @@ def _make_mono_step_core(w: int, h: int, params: MonoParams,
         # fast path refines AFTER filtering/bucketing (fewer matches to
         # patch-gather; the +-2 px moves are well inside the 5 px outlier
         # tolerances, so filter results are equivalent in practice — pinned
-        # by tests/test_sequence_and_placement.py)
+        # by tests/test_sequence_and_placement.py).
+        # MONO refines the FULL table, not just the refine_window prefix:
+        # flow tables run past the window (scurve ~2756 > 2048) and the
+        # uncovered tail enters the estimator with half-res-quantized
+        # coordinates — measured scurve mono 9.28±0.53 -> 8.52±0.18 t_err
+        # with full coverage (round-5; same mechanism as the round-3
+        # w1024 fork one level up)
         if p.refinement > 0 and not engine.refine_pre_filter:
-            m2 = refine(m2, min(engine.refine_window, engine.max_matches))
+            m2 = refine(m2, engine.max_matches)
         res = mono_estimate_motion(
             m2, k_ransac, calib, jnp.float32(params.height),
             jnp.float32(params.pitch), jnp.float32(params.inlier_threshold),
@@ -291,8 +297,8 @@ def make_mono_frame_step_staged(w: int, h: int, params: MonoParams,
         k_bucket, k_ransac = jax.random.split(key)
         m2 = compact_matches(m2._replace(valid=m2.valid & keep2),
                              engine.max_matches)
-        # mono keeps the full table (see _make_mono_step_core note)
-        cap_pb = min(engine.refine_window, engine.max_matches)
+        # mono keeps the full table AND refines all of it (see
+        # _make_mono_step_core coverage note)
         m2 = bucket_matches(m2, k_bucket, params.bucket.max_features,
                             params.bucket.bucket_width,
                             params.bucket.bucket_height, engine.max_matches)
@@ -301,19 +307,19 @@ def make_mono_frame_step_staged(w: int, h: int, params: MonoParams,
             if p.refinement == 2:
                 u1p, v1p, ok = parabolic_fitting_prefix(
                     cur.du_full, cur.dv_full, prev.du_full, prev.dv_full,
-                    m2.u1c, m2.v1c, m2.u1p, m2.v1p, wf, hf, window=cap_pb,
-                    count=m2.count)
+                    m2.u1c, m2.v1c, m2.u1p, m2.v1p, wf, hf,
+                    window=engine.max_matches, count=m2.count)
                 # mono compacts back into the FULL max_matches table, like
-                # _make_mono_step_core (clipping to cap_pb reintroduces the
-                # scurve mono table-clip regression, BASELINE.md round-4)
+                # _make_mono_step_core (clipping reintroduces the scurve
+                # mono table-clip regression, BASELINE.md round-4)
                 m2 = compact_matches(
                     m2._replace(u1p=u1p, v1p=v1p, valid=m2.valid & ok),
                     engine.max_matches)
             else:
                 u1p, v1p = relocate_minimum_prefix(
                     cur.du_full, cur.dv_full, prev.du_full, prev.dv_full,
-                    m2.u1c, m2.v1c, m2.u1p, m2.v1p, wf, hf, window=cap_pb,
-                    count=m2.count)
+                    m2.u1c, m2.v1c, m2.u1p, m2.v1p, wf, hf,
+                    window=engine.max_matches, count=m2.count)
                 m2 = m2._replace(u1p=u1p, v1p=v1p)
         res = mono_estimate_motion(
             m2, k_ransac, calib, jnp.float32(params.height),
