@@ -99,6 +99,22 @@ def sad_cases():
                  and np.all(np.asarray(idx_g)[tail0:] == 0))
     check("sad_argmin/count_gated", same_prefix and tail_init)
 
+    # odd (non-tile-divisible) capacities: the kernel auto-pads to whole
+    # tiles (round-5); real rows must still equal the oracle on device
+    n1o, n2o = 200, 300
+    argo = (d1[:n1o], c1[:n1o], u1[:n1o] - 120, u1[:n1o] + 120,
+            v1[:n1o] - 200, v1[:n1o] + 200, t_u[:n1o], t_v[:n1o],
+            d2[:n2o], u2[:n2o], v2[:n2o], c2[:n2o],
+            jnp.ones(n2o, bool))
+    idx_ref, cost_ref = matching.sad_argmin_pass(*argo, chunk=64)
+    idx_o, cost_o = sad_argmin_pallas(*argo, tm=128, tn=128)
+    sel = np.asarray(cost_ref) < 1e7
+    check("sad_argmin/odd_capacity",
+          idx_o.shape == (n1o,)
+          and np.array_equal(np.asarray(idx_o), np.asarray(idx_ref))
+          and np.allclose(np.asarray(cost_o)[sel],
+                          np.asarray(cost_ref)[sel], rtol=1e-6))
+
 
 def patch_cases():
     H, W = 376, 1241
@@ -124,6 +140,15 @@ def patch_cases():
     check("extract_patches/borders",
           np.array_equal(np.asarray(pdu), ref_u)
           and np.array_equal(np.asarray(pdv), ref_v))
+    # odd match capacity auto-pads to whole blocks (round-5)
+    Mo = 777
+    odu, odv = extract_patches_pallas(
+        jnp.asarray(du), jnp.asarray(dv), jnp.asarray(u0[:Mo]),
+        jnp.asarray(v0[:Mo]))
+    check("extract_patches/odd_capacity",
+          odu.shape[0] == Mo
+          and np.array_equal(np.asarray(odu), ref_u[:Mo])
+          and np.array_equal(np.asarray(odv), ref_v[:Mo]))
     # count gating: prefix blocks exact, fully-dead blocks zeroed
     cnt = 700  # covers blocks 0..2 fully, block 2 partially at block=256
     gdu, gdv = extract_patches_pallas(
