@@ -77,7 +77,7 @@ def run_eval(scene: str = "curve", n_frames: int = 110, w: int = 416,
                                 jnp.asarray(last, jnp.float32), k)
         if bool(res.success):
             last = np.asarray(transformation_vector_to_matrix(res.tr))
-            acc.push(m, i, keep=np.asarray(res.inliers))
+            acc.push(m, i, keep=np.asarray(res.inliers), stereo=True)
         else:
             n_fail += 1
             acc.reset_chain()
@@ -86,8 +86,17 @@ def run_eval(scene: str = "curve", n_frames: int = 110, w: int = 416,
 
     kf = select_keyframes(est, min_dist=2.0)
     intr = (f, w / 2.0, h / 2.0)
+    # PRIMARY: left-image observations only. Measured better for
+    # trajectory correction than the rigid-baseline stereo variant below:
+    # stereo rows double the (already well-satisfied) depth constraints
+    # anchoring the solution to the VO poses, diluting the reprojection
+    # signal that corrects drift (A/B in this JSON).
     kfp = build_keyframe_problem(acc, est, kf, intr, max_obs=8,
                                  max_landmarks=8192, pad_to=8)
+    # rigid-baseline STEREO-observation variant (obs_base=base rows)
+    kfp_stereo = build_keyframe_problem(acc, est, kf, intr, max_obs=16,
+                                        max_landmarks=8192, pad_to=8,
+                                        stereo_base=base)
 
     # ATE over keyframes, both trajectories re-rooted at kf[0]
     def reroot(P, idx):
@@ -121,6 +130,14 @@ def run_eval(scene: str = "curve", n_frames: int = 110, w: int = 416,
 
     ate_after = ate_rmse(gt_kf, poses_l)
     out["ate_after_local_m"] = ate_after
+
+    # stereo-observation A/B (capability line; see note at the build)
+    poses_s2, _, _, chi2_s2 = refine_keyframes(
+        kfp_stereo, intr, iters=20, n_fixed=2, mesh=None)
+    out["n_obs_stereo"] = int(np.asarray(
+        kfp_stereo.problem.obs_mask).sum())
+    out["chi2_after_stereo_obs"] = chi2_s2
+    out["ate_after_stereo_obs_m"] = ate_rmse(gt_kf, poses_s2)
 
     if use_mesh:
         from sfm_tpu.parallel.ba import make_ba_step

@@ -48,16 +48,22 @@ class TrackAccumulator:
         self._frame: list[np.ndarray] = []
         self._u: list[np.ndarray] = []
         self._v: list[np.ndarray] = []
+        self._ur: list[np.ndarray] = []   # right-image u (NaN if mono)
+        self._vr: list[np.ndarray] = []
 
     def reset_chain(self):
         """End every open track (call when VO fails / the keyframe is
         replaced, so broken geometry cannot bridge the gap)."""
         self.prev_map.fill(-1)
 
-    def push(self, m, frame: int, keep: Optional[np.ndarray] = None):
+    def push(self, m, frame: int, keep: Optional[np.ndarray] = None,
+             stereo: bool = False):
         """Add one frame's matches. `m` is a Matches table (device or
         numpy); `keep` optionally restricts to a boolean subset (e.g. the
-        RANSAC inlier mask). `frame` indexes the CURRENT image."""
+        RANSAC inlier mask). `frame` indexes the CURRENT image. With
+        stereo=True (quad tables) the right-image coordinates u2c/v2c
+        (and u2p/v2p for the spawning observation) are recorded so
+        build_keyframe_problem can emit rigid-baseline stereo residuals."""
         valid = np.asarray(m.valid).astype(bool)
         if keep is not None:
             valid = valid & np.asarray(keep).astype(bool)
@@ -67,11 +73,19 @@ class TrackAccumulator:
         v1p = np.asarray(m.v1p)[valid]
         u1c = np.asarray(m.u1c)[valid]
         v1c = np.asarray(m.v1c)[valid]
+        if stereo:
+            u2p = np.asarray(m.u2p)[valid]
+            v2p = np.asarray(m.v2p)[valid]
+            u2c = np.asarray(m.u2c)[valid]
+            v2c = np.asarray(m.v2c)[valid]
+        else:
+            u2p = v2p = u2c = v2c = np.full(valid.sum(), np.nan)
 
         ok = (i1p >= 0) & (i1p < self.feat_cap) & (i1c >= 0) \
             & (i1c < self.feat_cap)
         i1p, i1c = i1p[ok], i1c[ok]
         u1p, v1p, u1c, v1c = u1p[ok], v1p[ok], u1c[ok], v1c[ok]
+        u2p, v2p, u2c, v2c = u2p[ok], v2p[ok], u2c[ok], v2c[ok]
 
         tid = self.prev_map[i1p]
         new = tid < 0
@@ -86,22 +100,28 @@ class TrackAccumulator:
             self._frame.append(np.full(n_new, frame - 1, np.int64))
             self._u.append(u1p[new].astype(np.float64))
             self._v.append(v1p[new].astype(np.float64))
+            self._ur.append(u2p[new].astype(np.float64))
+            self._vr.append(v2p[new].astype(np.float64))
         self._tid.append(tid)
         self._frame.append(np.full(len(tid), frame, np.int64))
         self._u.append(u1c.astype(np.float64))
         self._v.append(v1c.astype(np.float64))
+        self._ur.append(u2c.astype(np.float64))
+        self._vr.append(v2c.astype(np.float64))
 
         nm = np.full(self.feat_cap, -1, np.int64)
         nm[i1c] = tid
         self.prev_map = nm
 
     def observations(self):
-        """(tid, frame, u, v) flat arrays over the whole run."""
+        """(tid, frame, u, v, ur, vr) flat arrays over the whole run
+        (ur/vr are NaN for observations without a right-image pairing)."""
         if not self._tid:
             z = np.zeros(0)
-            return z.astype(np.int64), z.astype(np.int64), z, z
+            return (z.astype(np.int64), z.astype(np.int64), z, z, z, z)
         return (np.concatenate(self._tid), np.concatenate(self._frame),
-                np.concatenate(self._u), np.concatenate(self._v))
+                np.concatenate(self._u), np.concatenate(self._v),
+                np.concatenate(self._ur), np.concatenate(self._vr))
 
 
 def select_keyframes(poses_c2w: np.ndarray, min_dist: float = 1.5,
@@ -161,6 +181,7 @@ def build_keyframe_problem(
     pad_to: int = 8,
     max_depth: float = 100.0,
     max_init_resid: float = 8.0,
+    stereo_base: float = 0.0,
 ) -> KeyframeProblem:
     """Compile accumulated tracks into a fixed-capacity BAProblem.
 
@@ -176,7 +197,7 @@ def build_keyframe_problem(
     from ..ops.linalg import smallest_right_singular_vector
 
     f, cu, cv = float(intr[0]), float(intr[1]), float(intr[2])
-    tid, frame, u, v = acc.observations()
+    tid, frame, u, v, ur, vr = acc.observations()
 
     # keyframe filter + camera renumbering
     kf_of_frame = np.full(int(frame.max() + 1) if len(frame) else 1, -1,
@@ -185,15 +206,18 @@ def build_keyframe_problem(
     sel = (frame < len(kf_of_frame)) & (kf_of_frame[np.clip(
         frame, 0, len(kf_of_frame) - 1)] >= 0)
     tid, frame, u, v = tid[sel], frame[sel], u[sel], v[sel]
+    ur, vr = ur[sel], vr[sel]
     cam = kf_of_frame[frame]
 
     # dedup (tid, cam) — a track observed twice in one keyframe keeps the
     # first observation
     order = np.lexsort((cam, tid))
     tid, cam, u, v = tid[order], cam[order], u[order], v[order]
+    ur, vr = ur[order], vr[order]
     first = np.ones(len(tid), bool)
     first[1:] = (tid[1:] != tid[:-1]) | (cam[1:] != cam[:-1])
     tid, cam, u, v = tid[first], cam[first], u[first], v[first]
+    ur, vr = ur[first], vr[first]
 
     # tracks with enough keyframe support
     utid, start, count = np.unique(tid, return_index=True,
@@ -207,20 +231,37 @@ def build_keyframe_problem(
     Nl = len(utid)
     Nc = len(kf)
 
-    # fixed-capacity observation table, even subsample beyond max_obs
+    # fixed-capacity observation table, even subsample beyond the budget.
+    # With a stereo baseline each selected keyframe contributes TWO
+    # residual rows (left, and right at a rigid x-offset of `stereo_base`)
+    # when the right-image pairing exists, so the keyframe budget halves.
+    stereo = stereo_base > 0.0
+    kf_budget = max_obs // 2 if stereo else max_obs
     obs_uv = np.zeros((Nl, max_obs, 2), np.float32)
     obs_cam = np.zeros((Nl, max_obs), np.int32)
     obs_mask = np.zeros((Nl, max_obs), bool)
+    obs_base = np.zeros((Nl, max_obs), np.float32)
+    left_cnt = np.zeros(Nl, np.int64)
     for l in range(Nl):
         s, c = start[l], count[l]
-        idx = s + (np.round(np.linspace(0, c - 1, min(c, max_obs)))
-                   .astype(np.int64) if c > max_obs
+        idx = s + (np.round(np.linspace(0, c - 1, min(c, kf_budget)))
+                   .astype(np.int64) if c > kf_budget
                    else np.arange(c))
         k = len(idx)
+        left_cnt[l] = k
         obs_uv[l, :k, 0] = u[idx]
         obs_uv[l, :k, 1] = v[idx]
         obs_cam[l, :k] = cam[idx]
         obs_mask[l, :k] = True
+        if stereo:
+            rsel = np.isfinite(ur[idx]) & np.isfinite(vr[idx])
+            kr = int(rsel.sum())
+            if kr:
+                obs_uv[l, k:k + kr, 0] = ur[idx][rsel]
+                obs_uv[l, k:k + kr, 1] = vr[idx][rsel]
+                obs_cam[l, k:k + kr] = cam[idx][rsel]
+                obs_base[l, k:k + kr] = stereo_base
+                obs_mask[l, k:k + kr] = True
 
     # initial cameras (world->cam) from the VO pose chain, re-rooted at kf0
     base = poses_c2w[kf[0]]
@@ -235,7 +276,9 @@ def build_keyframe_problem(
                                    poses_c2w[kf]))  # world->cam per kf
     K = np.asarray([[f, 0, cu], [0, f, cv], [0, 0, 1.0]])
     proj = np.einsum("ij,njk->nik", K, T_wc[:, :3, :])  # [Nc,3,4]
-    li = np.maximum(obs_mask.sum(1) - 1, 0)
+    # DLT from the first/last LEFT observation (right obs sit after the
+    # left prefix when stereo)
+    li = np.maximum(left_cnt - 1, 0)
     c1 = obs_cam[np.arange(Nl), 0] if Nl else np.zeros(0, np.int32)
     c2 = obs_cam[np.arange(Nl), li] if Nl else np.zeros(0, np.int32)
     P1, P2 = proj[c1], proj[c2]
@@ -266,6 +309,9 @@ def build_keyframe_problem(
     if Nl:
         xc_all = np.einsum("lkij,lj->lki", T_wc[obs_cam][:, :, :3, :3],
                            pts) + T_wc[obs_cam][:, :, :3, 3]
+        xc_all = xc_all - np.stack(
+            [obs_base, np.zeros_like(obs_base), np.zeros_like(obs_base)],
+            -1)
         z_all = np.where(np.abs(xc_all[..., 2]) > 1e-6, xc_all[..., 2],
                          1e-6)
         pred = np.stack([f * xc_all[..., 0] / z_all + cu,
@@ -294,6 +340,7 @@ def build_keyframe_problem(
         obs_cam=jnp.asarray(padl(obs_cam)),
         obs_mask=jnp.asarray(padl(obs_mask)),
         point_valid=jnp.asarray(padl(valid)),
+        obs_base=jnp.asarray(padl(obs_base)),
     )
     return KeyframeProblem(problem=prob, kf_frames=kf, n_landmarks=Nl)
 

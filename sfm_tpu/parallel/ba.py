@@ -37,9 +37,26 @@ class BAProblem(NamedTuple):
     obs_cam: jnp.ndarray      # [Nl, K] int32 camera index
     obs_mask: jnp.ndarray     # [Nl, K] bool
     point_valid: jnp.ndarray  # [Nl] bool
+    # per-observation rigid stereo-baseline offset along camera x (0 = the
+    # anchor/left camera, `base` = the rectified right camera of the same
+    # keyframe). Lets one camera index carry BOTH images of a stereo rig
+    # without doubling the camera system: x_cam -> x_cam - obs_base before
+    # projection; all Jacobians are unchanged (the shift is constant).
+    obs_base: jnp.ndarray = None
 
 
-def _project_and_jacobians(cam_tr, points, obs_cam, obs_mask, intr):
+def _with_obs_base(problem: BAProblem) -> BAProblem:
+    """Normalize obs_base to a zeros array (mono problems may omit it).
+    numpy (not jnp) so multi-controller pjit accepts it as
+    process-replicated input alongside global arrays."""
+    if problem.obs_base is None:
+        return problem._replace(
+            obs_base=np.zeros(problem.obs_cam.shape, np.float32))
+    return problem
+
+
+def _project_and_jacobians(cam_tr, points, obs_cam, obs_mask, intr,
+                           obs_base):
     """Per-observation residual pieces.
 
     Returns (r [Nl,K,2], Jc [Nl,K,2,6], Jx [Nl,K,2,3]) with masked rows
@@ -53,6 +70,10 @@ def _project_and_jacobians(cam_tr, points, obs_cam, obs_mask, intr):
     tc = cam_tr[c, 3:6]  # [Nl,K,3]
     X = points[:, None, :]                                   # [Nl,1,3]
     xc = jnp.einsum("lkij,lkj->lki", Rc, jnp.broadcast_to(X, Rc.shape[:2] + (3,))) + tc
+    # rigid stereo-baseline shift (right camera at x - b); constant wrt the
+    # parameters, so all Jacobians below are untouched
+    xc = xc - jnp.stack([obs_base, jnp.zeros_like(obs_base),
+                         jnp.zeros_like(obs_base)], -1)
     x, y, z = xc[..., 0], xc[..., 1], xc[..., 2]
     z = jnp.where(jnp.abs(z) > 1e-6, z, 1e-6)
 
@@ -87,14 +108,15 @@ def _residuals(obs_uv, xc, intr):
 
 
 def _local_schur(cam_tr, points, obs_uv, obs_cam, obs_mask, point_valid,
-                 intr, damping):
+                 intr, damping, obs_base):
     """Per-shard Schur pieces. Returns (S [Nc,6,Nc,6], rhs [Nc,6],
     Vinv [Nl,3,3], bl [Nl,3], W [Nl,K,6,3], chi2)."""
     Nc = cam_tr.shape[0]
     mask = obs_mask & point_valid[:, None]
     mf = mask[..., None, None].astype(cam_tr.dtype)
 
-    Jc, Jx, xc = _project_and_jacobians(cam_tr, points, obs_cam, obs_mask, intr)
+    Jc, Jx, xc = _project_and_jacobians(cam_tr, points, obs_cam, obs_mask,
+                                        intr, obs_base)
     r = _residuals(obs_uv, xc, intr) * mask[..., None]
     Jc = Jc * mf
     Jx = Jx * mf
@@ -161,9 +183,11 @@ def ba_step_local(problem: BAProblem, intr, damping, n_fixed: int = 1,
                   axis_name: str | None = None):
     """One Gauss-Newton/LM step. If axis_name is given, landmark arrays are
     assumed sharded along it and partial camera systems are psum-reduced."""
+    problem = _with_obs_base(problem)
     S, rhs, Vinv, bl, W, chi2 = _local_schur(
         problem.cam_tr, problem.points, problem.obs_uv, problem.obs_cam,
-        problem.obs_mask, problem.point_valid, intr, damping)
+        problem.obs_mask, problem.point_valid, intr, damping,
+        problem.obs_base)
     if axis_name is not None:
         S = jax.lax.psum(S, axis_name)
         rhs = jax.lax.psum(rhs, axis_name)
@@ -196,7 +220,8 @@ def make_distributed_ba_step(mesh: Mesh, intr, damping: float = 1e-3,
 
     lspec = P(axis)
     in_specs = BAProblem(cam_tr=P(), points=lspec, obs_uv=lspec,
-                         obs_cam=lspec, obs_mask=lspec, point_valid=lspec)
+                         obs_cam=lspec, obs_mask=lspec, point_valid=lspec,
+                         obs_base=lspec)
 
     @functools.partial(
         jax.shard_map, mesh=mesh, in_specs=(in_specs, P()),
@@ -213,7 +238,7 @@ def make_distributed_ba_step(mesh: Mesh, intr, damping: float = 1e-3,
         # defaults to the constructor value. Plain numpy so multi-process
         # meshes treat it as process-replicated input.
         d = np.full((1,), damping if damp is None else damp, np.float32)
-        return jitted(problem, d)
+        return jitted(_with_obs_base(problem), d)
 
     return call
 
