@@ -157,6 +157,10 @@ def run_eval(scene: str = "curve", n_frames: int = 110, w: int = 416,
         poses_s, _, _, chi2_shard = refine_keyframes(
             kfp, intr, iters=20, n_fixed=2, mesh=mesh)
         out["mesh_devices"] = n_dev
+        # communication volume: ONE psum of the reduced camera system per
+        # iteration (S [Nc*6, Nc*6] + rhs [Nc*6] + chi2), rides ICI
+        nc6 = len(kf) * 6
+        out["psum_bytes_per_iter"] = int((nc6 * nc6 + nc6 + 1) * 4)
         out["chi2_after_sharded"] = chi2_shard
         out["ate_after_sharded_m"] = ate_rmse(gt_kf, poses_s)
         out["sharded_pose_max_diff_m"] = float(
